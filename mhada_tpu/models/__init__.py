@@ -1,0 +1,15 @@
+from .vit import VisionTransformer, VisionTransformerMultiScale
+from .adaformer import AdaFormer, AdaAttnMultiHead, adaattn_for_loss
+from .decoder import Decoder
+from .vgg19 import VGG19Features, imagenet_normalize
+
+__all__ = [
+    "VisionTransformer",
+    "VisionTransformerMultiScale",
+    "AdaFormer",
+    "AdaAttnMultiHead",
+    "adaattn_for_loss",
+    "Decoder",
+    "VGG19Features",
+    "imagenet_normalize",
+]

@@ -1,0 +1,53 @@
+"""Mirrored upsampling decoder (reference network/conv.py:75-100).
+
+512->256 (+2x) -> 3x(256->256) -> 256->128 (+2x) -> 128->128 -> 128->64 (+2x)
+-> 64->64 -> 64->3, all reflection-padded 3x3 convs with ReLU.  Note the final
+layer is conv+ReLU (NOT tanh — reference conv.py:93): outputs live in
+[0, inf) in 0-255 pixel space and consumers clamp to [0, 255].
+"""
+
+import flax.linen as nn
+
+from .layers import TorchConv
+from ..ops.pad_conv import reflect_pad2d
+from ..ops.resize import upsample2x
+
+
+class ConvReLU(nn.Module):
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = reflect_pad2d(x, self.kernel_size // 2)
+        x = TorchConv(self.features, self.kernel_size, name="conv")(x)
+        return nn.relu(x)
+
+
+class ConvReluUp(nn.Module):
+    """Conv + ReLU + 2x bilinear upsample (reference ConvReluInterpolate)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = reflect_pad2d(x, self.kernel_size // 2)
+        x = TorchConv(self.features, self.kernel_size, name="conv")(x)
+        x = nn.relu(x)
+        return upsample2x(x)
+
+
+class Decoder(nn.Module):
+    @nn.compact
+    def __call__(self, fcs):
+        x = ConvReluUp(256, name="up1")(fcs)
+        x = ConvReLU(256, name="c1")(x)
+        x = ConvReLU(256, name="c2")(x)
+        x = ConvReLU(256, name="c3")(x)
+        x = ConvReluUp(128, name="up2")(x)
+        x = ConvReLU(128, name="c4")(x)
+        x = ConvReluUp(64, name="up3")(x)
+        x = ConvReLU(64, name="c5")(x)
+        x = ConvReLU(3, name="c6")(x)
+        return x

@@ -1,0 +1,135 @@
+"""Shared layers with PyTorch-default initialisation.
+
+Initialisers reproduce torch defaults so from-scratch training matches the
+reference recipe's dynamics: Conv2d/Linear use kaiming-uniform(a=sqrt(5)) which
+reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both kernel and bias;
+MultiheadAttention packs qkv with xavier-uniform and zero biases
+(reference relies on torch 2.5.1 defaults throughout).
+"""
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def torch_uniform_init(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def xavier_uniform_packed_qkv(embed_dim: int) -> Callable:
+    """Xavier-uniform over the torch (3E, E) packed matrix, stored as (E, 3E)."""
+    bound = math.sqrt(6.0 / (3 * embed_dim + embed_dim))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch Linear init; kernel stored (in, out)."""
+
+    features: int
+    use_bias: bool = True
+    zero_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_uniform_init(fan_in), (fan_in, self.features)
+        )
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            if self.zero_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            else:
+                bias = self.param(
+                    "bias", torch_uniform_init(fan_in), (self.features,)
+                )
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class TorchConv(nn.Module):
+    """NHWC conv with torch Conv2d init; kernel stored HWIO."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        c_in = x.shape[-1]
+        fan_in = c_in * k * k
+        kernel = self.param(
+            "kernel", torch_uniform_init(fan_in), (k, k, c_in, self.features)
+        )
+        bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        from ..ops.pad_conv import conv2d
+
+        return conv2d(
+            x, kernel.astype(x.dtype), bias.astype(x.dtype),
+            stride=self.stride, padding=self.padding,
+        )
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis, torch affine defaults (ones/zeros)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """torch ``nn.MultiheadAttention``-compatible self-attention.
+
+    Input (B, L, E) attends over axis 1 (the sequence axis).  The reference
+    feeds (batch, tokens, C) to a seq-first torch MHA (reference vit.py:48,59
+    without ``batch_first``), so there the *image batch* is the sequence; the
+    caller selects which axis is the sequence by transposing — see
+    ``EncoderBlock.attn_mode``.
+    """
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, E = x.shape
+        hd = E // self.num_heads
+        qkv_kernel = self.param(
+            "qkv_kernel", xavier_uniform_packed_qkv(E), (E, 3 * E)
+        )
+        qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * E,))
+        qkv = x @ qkv_kernel.astype(x.dtype) + qkv_bias.astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+        a = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, L, E)
+        return TorchLinear(E, zero_bias=True, name="out_proj")(o)

@@ -1,0 +1,162 @@
+"""ViT feature-pyramid encoders (content & style paths).
+
+Capability parity with reference network/vit.py:45-236: patch embedding,
+learned interpolated positional grid (content encoder only), pre-LN encoder
+blocks returning *every* block's output as a feature pyramid at H/8 x W/8.
+
+Behavioural note (reference vit.py:48,116): the reference constructs torch
+MultiheadAttention without ``batch_first`` yet feeds (B, N, C), so attention
+mixes the *image batch* at each spatial position instead of mixing tokens.
+Trained reference checkpoints encode that behaviour.  ``attn_mode`` selects:
+
+- ``"spatial"``       idiomatic token attention (default for new training)
+- ``"batch_coupled"`` bug-compatible reference behaviour (weight parity)
+
+All tensors NHWC; tokens (B, N, C).
+"""
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import LayerNorm, MultiHeadSelfAttention, TorchConv, TorchLinear
+from ..ops.resize import resize_bilinear
+
+
+class PatchEmbedding(nn.Module):
+    """Conv with kernel = stride = patch size, flattened to tokens
+    (reference vit.py:105-117)."""
+
+    patch_size: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = TorchConv(
+            self.hidden_dim, self.patch_size, stride=self.patch_size, name="proj"
+        )(x)
+        b, h, w, c = y.shape
+        return y.reshape(b, h * w, c), (h, w)
+
+
+class PosEmbedding(nn.Module):
+    """Learned (32, 32, C) position grid, bilinearly regridded to the token
+    grid at forward time (reference vit.py:67-102)."""
+
+    embed_dim: int
+    base_size: int = 32
+
+    @nn.compact
+    def __call__(self, grid_hw):
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, self.base_size, self.base_size, self.embed_dim),
+        )
+        h, w = grid_hw
+        if (h, w) != (self.base_size, self.base_size):
+            pos = resize_bilinear(pos, (h, w))
+        return pos.reshape(1, h * w, self.embed_dim)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN transformer block (reference vit.py:45-64)."""
+
+    num_heads: int
+    mlp_dim: int
+    attn_mode: str = "spatial"
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, N, C)
+        h = LayerNorm(name="ln1")(x)
+        attn = MultiHeadSelfAttention(self.num_heads, name="attention")
+        if self.attn_mode == "spatial":
+            h = attn(h)
+        elif self.attn_mode == "batch_coupled":
+            # Reference quirk: sequence axis = image batch. Treat tokens as
+            # the batch and the image batch as the sequence.
+            h = attn(h.transpose(1, 0, 2)).transpose(1, 0, 2)
+        else:
+            raise ValueError(f"unknown attn_mode: {self.attn_mode}")
+        x = x + h
+        y = LayerNorm(name="ln2")(x)
+        y = TorchLinear(self.mlp_dim, name="mlp_fc1")(y)
+        y = nn.relu(y)
+        y = TorchLinear(x.shape[-1], name="mlp_fc2")(y)
+        return x + y
+
+
+class VisionTransformer(nn.Module):
+    """The trained encoder (reference vit.py:120-169).
+
+    Returns the output of every encoder block reshaped to (B, H/p, W/p, C).
+    """
+
+    patch_size: int = 8
+    num_layers: int = 3
+    num_heads: int = 8
+    hidden_dim: int = 512
+    mlp_dim: int = 2048
+    pos_embedding: bool = True
+    attn_mode: str = "spatial"
+
+    @nn.compact
+    def __call__(self, x):
+        tokens, (h, w) = PatchEmbedding(
+            self.patch_size, self.hidden_dim, name="patch_embedding"
+        )(x)
+        if self.pos_embedding:
+            tokens = tokens + PosEmbedding(
+                self.hidden_dim, name="pos_embedding"
+            )((h, w)).astype(tokens.dtype)
+        feats = []
+        for i in range(self.num_layers):
+            tokens = EncoderBlock(
+                self.num_heads,
+                self.mlp_dim,
+                attn_mode=self.attn_mode,
+                name=f"block{i}",
+            )(tokens)
+            feats.append(tokens.reshape(-1, h, w, self.hidden_dim))
+        return feats
+
+
+class VisionTransformerMultiScale(nn.Module):
+    """Pyramid variant with stride-2 re-patching between stages
+    (reference vit.py:172-236; exported but unused by reference entry scripts —
+    kept for component parity)."""
+
+    patch_size: int = 4
+    num_layers: int = 3
+    num_heads: int = 8
+    hidden_dims: Sequence[int] = (256, 512, 512)
+    mlp_dims: Sequence[int] = (1024, 2048, 2048)
+    pos_embedding: bool = True
+    attn_mode: str = "spatial"
+
+    @nn.compact
+    def __call__(self, x):
+        tokens, (h, w) = PatchEmbedding(
+            self.patch_size, self.hidden_dims[0], name="patch_embedding"
+        )(x)
+        if self.pos_embedding:
+            tokens = tokens + PosEmbedding(
+                self.hidden_dims[0], name="pos_embedding"
+            )((h, w)).astype(tokens.dtype)
+        feats = []
+        for i in range(self.num_layers):
+            tokens = EncoderBlock(
+                self.num_heads,
+                self.mlp_dims[i],
+                attn_mode=self.attn_mode,
+                name=f"block{i}",
+            )(tokens)
+            y = tokens.reshape(-1, h, w, self.hidden_dims[i])
+            feats.append(y)
+            if i < self.num_layers - 1:
+                tokens, (h, w) = PatchEmbedding(
+                    2, self.hidden_dims[i + 1], name=f"repatch{i}"
+                )(y)
+        return feats
