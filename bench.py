@@ -1,0 +1,110 @@
+"""Headline benchmark: stylized 512x512 frames/sec/chip.
+
+Protocol: the video-streaming path (reference infer_video.py:58-61) — style
+features encoded once, then per-frame vit_c + AdaFormer + clamp at 512^2 B=1,
+bf16 compute.  Timing queues all iterations and syncs once at the end
+(block_until_ready does not actually wait on the axon TPU platform, and
+per-iteration host readbacks measure the tunnel, not the chip — see
+.claude/skills/verify/SKILL.md).  The full path including per-frame style
+encoding (reference infer_time.py:64-87 protocol) is reported on stderr.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is vs the driver target of 100 fps/chip (BASELINE.json).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+TARGET_FPS = 100.0  # driver north-star, /root/repo/BASELINE.json
+
+
+def main():
+    from mhada_tpu.config import ModelConfig
+    from mhada_tpu.train.train_image import build_models
+    from mhada_tpu.infer.image import (
+        make_stylize_fn,
+        make_encode_style_fn,
+        make_stylize_with_fs_fn,
+        init_inference_params,
+    )
+
+    cfg = ModelConfig()
+    dtype = jnp.bfloat16
+    models = build_models(cfg)
+    params = init_inference_params(models, jax.random.PRNGKey(0), (512, 512))
+    base = make_stylize_fn(models, dtype=dtype)
+    encode = make_encode_style_fn(models, dtype=dtype)
+    base_fs = make_stylize_with_fs_fn(models, dtype=dtype)
+
+    # Checksum computed in-graph: the final 4-byte readback is the only sync,
+    # and (in-order execution) it fences all queued iterations.
+    @jax.jit
+    def stylize(params, content, style):
+        cs = base(params, content, style)
+        return cs, jnp.sum(cs)
+
+    @jax.jit
+    def stylize_fs(params, content, fs):
+        cs = base_fs(params, content, fs)
+        return cs, jnp.sum(cs)
+
+    from mhada_tpu.utils.device import commit_to_device
+
+    rng = np.random.default_rng(0)
+    n_inputs = 8
+    # commit inputs on-chip too: axon device_put buffers are host-backed and
+    # would be re-shipped per execute (see utils/device.py).
+    contents = [
+        commit_to_device(
+            jnp.asarray(rng.uniform(0, 255, (1, 512, 512, 3)), jnp.float32)
+        )
+        for _ in range(n_inputs)
+    ]
+    style = commit_to_device(
+        jnp.asarray(rng.uniform(0, 255, (1, 512, 512, 3)), jnp.float32)
+    )
+
+    iters = 60
+
+    # Full path (per-frame style encode), infer_time.py protocol.
+    for i in range(5):
+        out, s = stylize(params, contents[i % n_inputs], style)
+    _ = float(s)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out, s = stylize(params, contents[i % n_inputs], style)
+    _ = float(s)  # single sync point fences the whole queue
+    full_fps = iters / (time.perf_counter() - t0)
+    print(f"full-path (style re-encoded per frame): {full_fps:.2f} fps",
+          file=sys.stderr)
+
+    # Streaming protocol: style encoded once (infer_video.py:58-61).
+    fs = encode(params, style)
+    for i in range(5):
+        out, s = stylize_fs(params, contents[i % n_inputs], fs)
+    _ = float(s)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out, s = stylize_fs(params, contents[i % n_inputs], fs)
+    _ = float(s)
+    fps = iters / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "stylized_512x512_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / TARGET_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Central configuration (replaces the reference's per-script UPPER_CASE
+constants duplicated across ~15 files — SURVEY.md §5 'Config / flag system').
+
+Defaults reproduce the reference recipes exactly:
+image training (train_image.py:14-28) and video training (train_video.py:14-32).
+"""
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    num_layers: int = 3
+    num_heads: int = 8
+    hidden_dim: int = 512
+    mlp_dim: int = 2048
+    patch_size: int = 8
+    activation: str = "softmax"
+    # "spatial" = idiomatic token attention; "batch_coupled" = reference
+    # bug-compatible mode (vit.py:48 quirk) for imported checkpoints.
+    attn_mode: str = "spatial"
+    # MHAda backend: "auto" = fused Pallas kernel on TPU inference, naive
+    # einsum elsewhere; "naive" / "pallas" force.
+    mhada_backend: str = "auto"
+
+
+@dataclass(frozen=True)
+class ImageTrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    epoch_start: int = 1
+    epoch_end: int = 20
+    batch_size: int = 8
+    lr: float = 1e-4
+    lambda_gs: float = 70.0
+    lambda_lf: float = 15.0
+    lambda_id1: float = 5e-2
+    lambda_id2: float = 1e-1
+    image_size: Tuple[int, int] = (256, 256)
+
+
+@dataclass(frozen=True)
+class VideoTrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    epoch_start: int = 21
+    epoch_end: int = 30
+    batch_size: int = 2
+    image_batch_size: int = 8  # checkpoint-resume filename keys off this
+    lr: float = 1e-4
+    lambda_gs: float = 100.0
+    lambda_lf: float = 15.0
+    lambda_ot: float = 2.0
+    lambda_ft: float = 2.0
+    lambda_id1: float = 5e-2
+    lambda_id2: float = 1e-1
+    style_size: Tuple[int, int] = (256, 256)
+    content_size: Tuple[int, int] = (256, 512)
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    image_size: Tuple[int, int] = (512, 512)
+    # compute dtype for the jitted forward ("float32" | "bfloat16")
+    dtype: str = "float32"

@@ -1,0 +1,209 @@
+"""InceptionV3 feature extractor for SIFID (reference SIFID/inception.py).
+
+Block taps (SIFID/inception.py:14-19): 0 = 64ch (pre-maxpool1), 1 = 192ch,
+2 = 768ch (pre-aux), 3 = 2048ch (Mixed_7c, pre-avgpool).  Input (0,1) scaled
+to (-1,1) (inception.py:138).  BasicConv2d = bias-free conv + BatchNorm
+(eps=1e-3, eval mode) + ReLU; pooling branches use count-include-pad average
+pooling (torchvision semantics).
+
+Weights import from a torchvision ``inception_v3`` IMAGENET1K_V1 .pth via
+``import_inception``.
+"""
+
+from typing import Dict, List
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+from ..ops.pad_conv import conv2d, max_pool2d
+
+
+class BasicConv2d(nn.Module):
+    features: int
+    kernel: tuple  # (kh, kw)
+    stride: int = 1
+    padding: tuple = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        c_in = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, c_in, self.features))
+        y = lax.conv_general_dilated(
+            x, w.astype(x.dtype), (self.stride, self.stride),
+            [(self.padding[0], self.padding[0]),
+             (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("bn_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("bn_var", nn.initializers.ones, (self.features,))
+        y = (y - mean) * lax.rsqrt(var + 1e-3) * scale + bias
+        return nn.relu(y)
+
+
+def _avg_pool3(x):
+    """3x3 stride-1 avg pool, count_include_pad=True (torchvision default)."""
+    s = lax.reduce_window(
+        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return s / 9.0
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=(2, 2), name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(
+            _avg_pool3(x)
+        )
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd)
+        bp = max_pool2d(x, 3, 2)
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    c7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.c7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avg_pool3(x))
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7)
+        bp = max_pool2d(x, 3, 2)
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3 = jnp.concatenate(
+            [
+                BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3),
+                BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3),
+            ],
+            axis=-1,
+        )
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = jnp.concatenate(
+            [
+                BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd),
+                BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd),
+            ],
+            axis=-1,
+        )
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avg_pool3(x))
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+BLOCK_INDEX_BY_DIM = {64: 0, 192: 1, 768: 2, 2048: 3}
+
+
+class InceptionV3Features(nn.Module):
+    """Returns the SIFID block taps up to ``last_block`` (0..3)."""
+
+    last_block: int = 3
+    normalize_input: bool = True  # (0,1) -> (-1,1), SIFID/inception.py:138
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        if self.normalize_input:
+            x = 2.0 * x - 1.0
+        out = []
+        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
+        out.append(x)
+        if self.last_block == 0:
+            return out
+        x = max_pool2d(x, 3, 2)
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        out.append(x)
+        if self.last_block == 1:
+            return out
+        x = max_pool2d(x, 3, 2)
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        out.append(x)
+        if self.last_block == 2:
+            return out
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(name="Mixed_7c")(x)
+        out.append(x)
+        return out
+
+
+def import_inception(sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision inception_v3 state_dict -> InceptionV3Features params."""
+    params: Dict = {}
+    convs = {}
+    for key in sd:
+        if key.endswith(".conv.weight"):
+            convs[key[: -len(".conv.weight")]] = True
+    for prefix in convs:
+        parts = prefix.split(".")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = {
+            "kernel": np.ascontiguousarray(
+                sd[prefix + ".conv.weight"].transpose(2, 3, 1, 0)
+            ),
+            "bn_scale": sd[prefix + ".bn.weight"],
+            "bn_bias": sd[prefix + ".bn.bias"],
+            "bn_mean": sd[prefix + ".bn.running_mean"],
+            "bn_var": sd[prefix + ".bn.running_var"],
+        }
+    return params

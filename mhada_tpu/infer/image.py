@@ -1,0 +1,162 @@
+"""Single-pair image stylization (reference infer_image.py:47-94).
+
+Loads content/style images, runs the jitted vit_c/vit_s/AdaFormer forward,
+clamps to [0, 255] and saves PNGs.  Checkpoints: our orbax format or imported
+reference ``.pth`` files (``--ada/--vitc/--vits``); random init if absent
+(smoke mode).
+"""
+
+import argparse
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..utils.image_io import load_image, save_image
+
+
+def init_inference_params(
+    models: Dict, rng: jax.Array, size_hw: Tuple[int, int] = (64, 64)
+) -> Dict:
+    """Random-init {vit_c, vit_s, adaFormer} params (CPU-side, fast).
+
+    Params are input-size independent, so init always runs at a small size —
+    flax ``init`` executes the forward, and a 512^2 eager attention on the
+    host CPU takes minutes.
+    """
+    del size_hw  # kept for API compatibility; init is size-independent
+    h, w = 64, 64
+    # init executes the forward: run it on CPU with the naive MHAda backend
+    # (param structure is backend-independent; the Pallas kernel has no CPU
+    # compile path).
+    ada_init = models["adaFormer"].clone(use_pallas=False)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        p_vc = models["vit_c"].init(k1, x)["params"]
+        p_vs = models["vit_s"].init(k2, x)["params"]
+        fc = models["vit_c"].apply({"params": p_vc}, x)
+        fs = models["vit_s"].apply({"params": p_vs}, x)
+        p_ada = ada_init.init(k3, fc, fs)["params"]
+    params = {"vit_c": p_vc, "vit_s": p_vs, "adaFormer": p_ada}
+    from ..utils.device import commit_to_device
+
+    return commit_to_device(params)
+
+
+def load_pth_params(ada_path: str, vitc_path: str, vits_path: str) -> Dict:
+    """Import a trained reference checkpoint triple (infer_image.py:55-57)."""
+    from ..interop import load_pth, import_vit, import_adaformer
+    from ..utils.device import commit_to_device
+
+    return commit_to_device({
+        "vit_c": import_vit(load_pth(vitc_path)),
+        "vit_s": import_vit(load_pth(vits_path)),
+        "adaFormer": import_adaformer(load_pth(ada_path)),
+    })
+
+
+def make_stylize_fn(models: Dict, dtype=jnp.float32):
+    """Jitted ``fn(params, content, style) -> cs`` (0-255 clamped).
+
+    ``dtype`` is the compute dtype: bfloat16 halves HBM traffic on the
+    attention path (params stay f32; output clamps in f32).
+    """
+
+    @jax.jit
+    def fn(params, content, style):
+        c = content.astype(dtype)
+        s = style.astype(dtype)
+        fc = models["vit_c"].apply({"params": params["vit_c"]}, c)
+        fs = models["vit_s"].apply({"params": params["vit_s"]}, s)
+        _, cs = models["adaFormer"].apply({"params": params["adaFormer"]}, fc, fs)
+        return jnp.clip(cs.astype(jnp.float32), 0, 255)
+
+    return fn
+
+
+def make_encode_style_fn(models: Dict, dtype=jnp.float32):
+    """Jitted style encoder — amortised once per style for video streaming
+    (reference infer_video.py:58-61)."""
+
+    @jax.jit
+    def fn(params, style):
+        return models["vit_s"].apply(
+            {"params": params["vit_s"]}, style.astype(dtype)
+        )
+
+    return fn
+
+
+def make_stylize_with_fs_fn(models: Dict, dtype=jnp.float32):
+    """Jitted ``fn(params, content, fs) -> cs`` with precomputed style feats."""
+
+    @jax.jit
+    def fn(params, content, fs):
+        fc = models["vit_c"].apply(
+            {"params": params["vit_c"]}, content.astype(dtype)
+        )
+        _, cs = models["adaFormer"].apply({"params": params["adaFormer"]}, fc, fs)
+        return jnp.clip(cs.astype(jnp.float32), 0, 255)
+
+    return fn
+
+
+def stylize_image(
+    params: Dict,
+    models: Dict,
+    content: np.ndarray,
+    style: np.ndarray,
+    dtype=jnp.float32,
+):
+    """content/style: HWC float32 0-255 -> stylized HWC float32 0-255."""
+    fn = make_stylize_fn(models, dtype)
+    out = fn(params, jnp.asarray(content)[None], jnp.asarray(style)[None])
+    return np.asarray(out[0])
+
+
+def main():
+    from ..train.train_image import build_models
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--content", required=True)
+    ap.add_argument("--style", required=True)
+    ap.add_argument("--out", default="./results/stylized.png")
+    ap.add_argument("--size", type=int, nargs=2, default=(512, 512))
+    ap.add_argument("--ada", help=".pth or orbax AdaFormer checkpoint")
+    ap.add_argument("--vitc")
+    ap.add_argument("--vits")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--attn-mode", default=None,
+                    choices=["spatial", "batch_coupled"],
+                    help="default: batch_coupled when loading .pth weights")
+    args = ap.parse_args()
+
+    use_pth = bool(args.ada)
+    attn_mode = args.attn_mode or ("batch_coupled" if use_pth else "spatial")
+    cfg = ModelConfig(attn_mode=attn_mode)
+    models = build_models(cfg)
+    if use_pth:
+        params = load_pth_params(args.ada, args.vitc, args.vits)
+    else:
+        print("WARNING: no checkpoint given — random weights (smoke mode)")
+        params = init_inference_params(
+            models, jax.random.PRNGKey(0), tuple(args.size)
+        )
+
+    c = load_image(args.content, tuple(args.size))
+    s = load_image(args.style, tuple(args.size))
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    out = stylize_image(params, models, c, s, dtype)
+    import os
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_image(args.out, out)
+    print(f"saved {args.out}  range=[{out.min():.1f}, {out.max():.1f}]")
+
+
+if __name__ == "__main__":
+    main()

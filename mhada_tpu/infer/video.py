@@ -1,0 +1,152 @@
+"""Streaming video stylization (reference infer_video.py).
+
+OpenCV capture -> resize -> jitted per-frame forward with the style features
+encoded ONCE (infer_video.py:58-61) -> optional live preview -> per-frame
+JPEGs + MP4 at source FPS (infer_video.py:120-129).  ``--mode Original``
+passes frames through unchanged (infer_video.py:13-14,93-96).
+
+TPU-first: the host decode thread prefetches the next frame while the chip
+stylises the current one (double buffering over the dispatch queue).
+"""
+
+import argparse
+import os
+import queue
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.image_io import cv2_to_tensor, mkdir
+
+
+def stream_stylize(
+    params,
+    models,
+    video_path: str,
+    style_hwc: np.ndarray,
+    out_dir: str = "./results/video",
+    size_hw=(256, 512),
+    dtype=jnp.float32,
+    mode: str = "Stylized",
+    show: bool = False,
+    write_mp4: bool = True,
+    max_frames: int = 0,
+):
+    import cv2
+
+    from .image import make_encode_style_fn, make_stylize_with_fs_fn
+
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    mkdir(out_dir, delete_existing_files=True)
+
+    encode = make_encode_style_fn(models, dtype)
+    stylize = make_stylize_with_fs_fn(models, dtype)
+    fs = encode(params, jnp.asarray(style_hwc)[None])
+
+    frame_q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def reader():
+        n = 0
+        while True:
+            ret, frame = cap.read()
+            if not ret or (max_frames and n >= max_frames):
+                break
+            frame_q.put(cv2_to_tensor(frame, resize=(size_hw[1], size_hw[0])))
+            n += 1
+        frame_q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    frames = []
+    idx = 0
+    pending = None  # overlap: dispatch frame i while writing frame i-1
+    while True:
+        item = frame_q.get()
+        if item is None:
+            break
+        if mode == "Stylized":
+            out = stylize(params, jnp.asarray(item)[None], fs)
+        else:
+            out = jnp.asarray(item)[None]
+        if pending is not None:
+            _flush(pending, frames, out_dir, show)
+        pending = (idx, out)
+        idx += 1
+    if pending is not None:
+        _flush(pending, frames, out_dir, show)
+    cap.release()
+
+    if write_mp4 and frames:
+        # cv2's built-in mp4v encoder; imageio needs an ffmpeg backend that
+        # may be absent.
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(
+            os.path.join(out_dir, "video.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h),
+        )
+        for f in frames:
+            vw.write(f[:, :, ::-1])
+        vw.release()
+    return idx
+
+
+def _flush(pending, frames, out_dir, show):
+    import cv2
+
+    i, out = pending
+    img = np.asarray(out[0]).astype(np.uint8)
+    frames.append(img)
+    cv2.imwrite(
+        os.path.join(out_dir, f"frame_{i:05d}.jpg"), img[:, :, ::-1]
+    )
+    if show:
+        cv2.imshow("mhada_tpu", img[:, :, ::-1])
+        if cv2.waitKey(1) & 0xFF == ord("q"):
+            raise KeyboardInterrupt
+
+
+def main(argv=None):
+    from ..config import ModelConfig
+    from ..train.train_image import build_models
+    from ..utils.image_io import load_image
+    from .image import init_inference_params, load_pth_params
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--video", required=True)
+    ap.add_argument("--style", required=True)
+    ap.add_argument("--out", default="./results/video")
+    ap.add_argument("--size", type=int, nargs=2, default=(256, 512),
+                    help="content H W")
+    ap.add_argument("--style-size", type=int, nargs=2, default=(256, 256))
+    ap.add_argument("--mode", default="Stylized",
+                    choices=["Stylized", "Original"])
+    ap.add_argument("--show", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--ada")
+    ap.add_argument("--vitc")
+    ap.add_argument("--vits")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args(argv)
+
+    models = build_models(
+        ModelConfig(attn_mode="batch_coupled" if args.ada else "spatial")
+    )
+    if args.ada:
+        params = load_pth_params(args.ada, args.vitc, args.vits)
+    else:
+        print("WARNING: random weights (smoke mode)")
+        params = init_inference_params(models, jax.random.PRNGKey(0))
+    style = load_image(args.style, tuple(args.style_size))
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    n = stream_stylize(
+        params, models, args.video, style, args.out, tuple(args.size),
+        dtype, args.mode, args.show, max_frames=args.max_frames,
+    )
+    print(f"processed {n} frames -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

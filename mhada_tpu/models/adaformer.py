@@ -82,6 +82,7 @@ class AdaAttnMultiHead(nn.Module):
             v.transpose(0, 2, 1, 3),
             fcs_n.reshape(B, N, H, d).transpose(0, 2, 1, 3),
             activation=self.activation,
+            use_pallas=self.use_pallas,
         )  # (B, H, N, d)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
 
@@ -129,6 +130,7 @@ class AdaFormer(nn.Module):
     num_layers: int = 3
     num_heads: int = 8
     activation: str = "softmax"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, fc: List[jnp.ndarray], fs: List[jnp.ndarray]):
@@ -145,10 +147,12 @@ class AdaFormer(nn.Module):
         fcs = fc_tok[0]
         for i in range(self.num_layers):
             fcs = AdaAttnMultiHead(
-                self.num_heads, self.activation, name=f"ada{2 * i}"
+                self.num_heads, self.activation, self.use_pallas,
+                name=f"ada{2 * i}",
             )(fc_tok[i], fs_tok[i], fcs)
             fcs = AdaAttnMultiHead(
-                self.num_heads, self.activation, name=f"ada{2 * i + 1}"
+                self.num_heads, self.activation, self.use_pallas,
+                name=f"ada{2 * i + 1}",
             )(fcs, fs_tok[i], fcs)
 
         b, n, c = fcs.shape

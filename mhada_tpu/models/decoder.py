@@ -13,6 +13,52 @@ from ..ops.pad_conv import reflect_pad2d
 from ..ops.resize import upsample2x
 
 
+class ConvDepthwiseSeparable(nn.Module):
+    """Reflection-padded depthwise 3x3 + pointwise 1x1 (reference
+    conv.py:8-20; used by the ConvFF ViT variant)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        from .layers import torch_uniform_init
+        from ..ops.pad_conv import conv2d
+        import jax.numpy as jnp
+        from jax import lax
+
+        c_in = x.shape[-1]
+        k = self.kernel_size
+        x = reflect_pad2d(x, k // 2)
+        dw_kernel = self.param(
+            "dw_kernel", torch_uniform_init(k * k), (k, k, 1, c_in)
+        )
+        dw_bias = self.param("dw_bias", torch_uniform_init(k * k), (c_in,))
+        x = lax.conv_general_dilated(
+            x, dw_kernel.astype(x.dtype), (self.stride, self.stride),
+            [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c_in,
+        ) + dw_bias.astype(x.dtype)
+        return TorchConv(self.features, 1, name="pointwise")(x)
+
+
+class ConvTanh(nn.Module):
+    """Conv + tanh rescaled to 0-255 (reference conv.py:48-58; unused by the
+    reference Decoder, kept for component parity)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.numpy as jnp
+
+        x = reflect_pad2d(x, self.kernel_size // 2)
+        x = TorchConv(self.features, self.kernel_size, name="conv")(x)
+        return (jnp.tanh(x) + 1.0) / 2.0 * 255.0
+
+
 class ConvReLU(nn.Module):
     features: int
     kernel_size: int = 3

@@ -112,6 +112,7 @@ class MultiHeadSelfAttention(nn.Module):
     """
 
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -126,10 +127,17 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(hd)
-        a = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+        if self.use_pallas and L >= 512:
+            # fused VMEM kernel: at long sequences XLA materialises the
+            # (H, L, L) logits in HBM (ops/attention_pallas.py).
+            from ..ops.attention_pallas import attention_pallas
+
+            o = attention_pallas(q, k, v, scale=1.0 / math.sqrt(hd))
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / math.sqrt(hd)
+            a = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
         o = o.transpose(0, 2, 1, 3).reshape(B, L, E)
         return TorchLinear(E, zero_bias=True, name="out_proj")(o)

@@ -52,6 +52,45 @@ def imagenet_normalize(x: jnp.ndarray) -> jnp.ndarray:
     return (x / 255.0 - mean) / std
 
 
+class VGG19Classifier(nn.Module):
+    """VGG19 tail: features[30:37] + avgpool + classifier head (reference
+    vgg19.py:73-93; dead code in the reference, kept for component parity).
+
+    Input: relu5_1 feature maps (B, H, W, 512); output: (B, 1000) logits.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        from .layers import TorchLinear
+
+        # features[30:37]: conv5_2, relu, conv5_3, relu, conv5_4, relu, pool
+        for name in ("conv5_2", "conv5_3", "conv5_4"):
+            x = nn.relu(TorchConv(512, 3, padding=1, name=name)(x))
+        x = max_pool2d(x)
+        # AdaptiveAvgPool2d((7,7)) — a linear map per axis, applied as
+        # matmuls (torch bin rule: [floor(o*H/7), ceil((o+1)*H/7))).
+        if x.shape[1:3] != (7, 7):
+            import numpy as np
+            import jax.numpy as jnp
+
+            def pool_matrix(size, out):
+                m = np.zeros((out, size), np.float32)
+                for o in range(out):
+                    a = (o * size) // out
+                    b = -((-(o + 1) * size) // out)
+                    m[o, a:b] = 1.0 / (b - a)
+                return jnp.asarray(m)
+
+            rh = pool_matrix(x.shape[1], 7).astype(x.dtype)
+            rw = pool_matrix(x.shape[2], 7).astype(x.dtype)
+            x = jnp.einsum("oh,bhwc->bowc", rh, x)
+            x = jnp.einsum("pw,bowc->bopc", rw, x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(TorchLinear(4096, name="fc1")(x))
+        x = nn.relu(TorchLinear(4096, name="fc2")(x))
+        return TorchLinear(1000, name="fc3")(x)
+
+
 class VGG19Features(nn.Module):
     """Returns {"relu1_1", ..., "relu5_1"} feature maps (NHWC)."""
 

@@ -60,18 +60,65 @@ class PosEmbedding(nn.Module):
         return pos.reshape(1, h * w, self.embed_dim)
 
 
-class EncoderBlock(nn.Module):
-    """Pre-LN transformer block (reference vit.py:45-64)."""
+class ConvFF(nn.Module):
+    """Conv feed-forward: 1x1 -> depthwise-separable 3x3 -> 1x1 on the
+    re-rasterised token grid (reference vit.py:10-24; unused by reference
+    entry scripts, kept for component parity)."""
+
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self, x, hw):
+        from .decoder import ConvDepthwiseSeparable
+        from .layers import TorchConv
+
+        b, n, c = x.shape
+        h, w = hw
+        y = x.reshape(b, h, w, c)
+        y = TorchConv(self.mlp_dim, 1, name="conv_in")(y)
+        y = ConvDepthwiseSeparable(self.mlp_dim, name="conv_dw")(y)
+        y = TorchConv(c, 1, name="conv_out")(y)
+        return y.reshape(b, n, c)
+
+
+class EncoderBlockConvFF(nn.Module):
+    """Encoder block whose MLP is a ConvFF (reference vit.py:27-42)."""
 
     num_heads: int
     mlp_dim: int
     attn_mode: str = "spatial"
 
     @nn.compact
+    def __call__(self, x, hw):
+        h = LayerNorm(name="ln1")(x)
+        attn = MultiHeadSelfAttention(self.num_heads, name="attention")
+        if self.attn_mode == "spatial":
+            h = attn(h)
+        else:
+            h = attn(h.transpose(1, 0, 2)).transpose(1, 0, 2)
+        x = x + h
+        y = LayerNorm(name="ln2")(x)
+        y = ConvFF(self.mlp_dim, name="mlp")(y, hw)
+        return x + y
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN transformer block (reference vit.py:45-64)."""
+
+    num_heads: int
+    mlp_dim: int
+    attn_mode: str = "spatial"
+    use_pallas: bool = False
+
+    @nn.compact
     def __call__(self, x):
         # x: (B, N, C)
         h = LayerNorm(name="ln1")(x)
-        attn = MultiHeadSelfAttention(self.num_heads, name="attention")
+        attn = MultiHeadSelfAttention(
+            self.num_heads,
+            use_pallas=self.use_pallas and self.attn_mode == "spatial",
+            name="attention",
+        )
         if self.attn_mode == "spatial":
             h = attn(h)
         elif self.attn_mode == "batch_coupled":
@@ -101,6 +148,7 @@ class VisionTransformer(nn.Module):
     mlp_dim: int = 2048
     pos_embedding: bool = True
     attn_mode: str = "spatial"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -117,6 +165,7 @@ class VisionTransformer(nn.Module):
                 self.num_heads,
                 self.mlp_dim,
                 attn_mode=self.attn_mode,
+                use_pallas=self.use_pallas,
                 name=f"block{i}",
             )(tokens)
             feats.append(tokens.reshape(-1, h, w, self.hidden_dim))

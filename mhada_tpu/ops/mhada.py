@@ -42,6 +42,7 @@ def mhada_attention(
     v: jnp.ndarray,
     fcs_n: jnp.ndarray,
     activation: str = "softmax",
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Batched-head adaptive attention core.
 
@@ -50,7 +51,15 @@ def mhada_attention(
     v:     (B, H, Nk, D)  projected style values (raw, not normed)
     fcs_n: (B, H, Nq, D)  instance-normed current stylised features
     returns (B, H, Nq, D): S * fcs_n + M  (per reference adaDecoder.py:186-198)
+
+    ``use_pallas`` dispatches to the fused VMEM-resident kernel
+    (ops/mhada_pallas.py) — forward-only (inference path); training uses this
+    naive einsum formulation, which XLA differentiates.
     """
+    if use_pallas and activation == "softmax":
+        from .mhada_pallas import mhada_attention_pallas
+
+        return mhada_attention_pallas(q, k, v, fcs_n)
     f32 = jnp.float32
     if activation == "softmax":
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=f32)

@@ -17,6 +17,7 @@ the MXU and are far faster than gather lowering on TPU for the sizes used here
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -68,7 +69,29 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple) -> jnp.ndarray:
     return y[0] if squeeze else y
 
 
+def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear upsample along one axis.
+
+    With align_corners=False and scale 2, src(o) = o/2 - 0.25, so every
+    output is a fixed 2-tap blend: even outputs 0.25*x[i-1] + 0.75*x[i],
+    odd outputs 0.75*x[i] + 0.25*x[i+1] (edge-clamped) — pure VPU work
+    instead of a dense interpolation matmul.
+    """
+    n = x.shape[axis]
+
+    def take(idx):
+        return jax.lax.slice_in_dim(x, idx[0], idx[1], axis=axis)
+
+    prev = jnp.concatenate([take((0, 1)), take((0, n - 1))], axis=axis)
+    nxt = jnp.concatenate([take((1, n)), take((n - 1, n))], axis=axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis + 1)  # (..., n, 2, ...)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return stacked.reshape(new_shape).astype(x.dtype)
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    """2x bilinear upsample (decoder path), NHWC."""
-    _, h, w, _ = x.shape
-    return resize_bilinear(x, (2 * h, 2 * w))
+    """2x bilinear upsample (decoder path), NHWC; exact torch semantics."""
+    return _up2_axis(_up2_axis(x, 1), 2)

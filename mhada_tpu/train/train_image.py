@@ -1,0 +1,164 @@
+"""Image training: the reference recipe (train_image.py:31-186) as one jitted
+SPMD train step.
+
+Per step (reference train_image.py:103-144): stylise cs = AdaFormer(vit_c(c),
+vit_s(s)); identity images cc, ss; five VGG sweeps; four losses (global-style,
+local-feature, identity-1/2); one backward; Adam updates for the three
+networks.  The reference's three per-network Adam optimizers share lr=1e-4, so
+a single optax.adam over the combined {vit_c, vit_s, adaFormer} tree is
+mathematically identical (Adam is per-leaf).
+
+Data parallelism: the step is written for ``jax.jit`` with sharded batch
+inputs over a ``Mesh(('data',))`` — see ``mhada_tpu.parallel``.
+"""
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import ImageTrainConfig
+from ..models import VisionTransformer, AdaFormer, VGG19Features
+from . import losses as L
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def resolve_mhada_backend(backend: str, for_training: bool) -> bool:
+    """'auto' -> fused Pallas kernel on TPU inference; naive for training
+    (the kernel is forward-only) and on CPU."""
+    if backend == "pallas":
+        return True
+    if backend == "naive" or for_training:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
+    """cfg: anything with a ``.model`` ModelConfig, or a ModelConfig itself."""
+    m = getattr(cfg, "model", cfg)
+    use_pallas = resolve_mhada_backend(
+        getattr(m, "mhada_backend", "auto"), for_training
+    )
+    return {
+        "vit_c": VisionTransformer(
+            patch_size=m.patch_size, num_layers=m.num_layers,
+            num_heads=m.num_heads, hidden_dim=m.hidden_dim,
+            mlp_dim=m.mlp_dim, pos_embedding=True, attn_mode=m.attn_mode,
+            use_pallas=use_pallas,
+        ),
+        "vit_s": VisionTransformer(
+            patch_size=m.patch_size, num_layers=m.num_layers,
+            num_heads=m.num_heads, hidden_dim=m.hidden_dim,
+            mlp_dim=m.mlp_dim, pos_embedding=False, attn_mode=m.attn_mode,
+            use_pallas=use_pallas,
+        ),
+        "adaFormer": AdaFormer(
+            num_layers=m.num_layers, num_heads=m.num_heads,
+            activation=m.activation, use_pallas=use_pallas,
+        ),
+        "vgg19": VGG19Features(),
+    }
+
+
+def init_params(rng: jax.Array, cfg: ImageTrainConfig, models=None) -> Dict:
+    """Initialise the three trainable networks (+ random VGG placeholder —
+    real runs import torchvision weights via mhada_tpu.interop)."""
+    models = models or build_models(cfg, for_training=True)
+    h, w = cfg.image_size
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    p_vc = models["vit_c"].init(k1, x)["params"]
+    p_vs = models["vit_s"].init(k2, x)["params"]
+    fc = models["vit_c"].apply({"params": p_vc}, x)
+    fs = models["vit_s"].apply({"params": p_vs}, x)
+    p_ada = models["adaFormer"].init(k3, fc, fs)["params"]
+    p_vgg = models["vgg19"].init(k4, x)["params"]
+    return {
+        "trainable": {"vit_c": p_vc, "vit_s": p_vs, "adaFormer": p_ada},
+        "vgg19": p_vgg,
+    }
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    # torch.optim.Adam defaults (betas 0.9/0.999, eps 1e-8) — train_image.py:70-72.
+    return optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def create_train_state(rng: jax.Array, cfg: ImageTrainConfig) -> Tuple[TrainState, Dict]:
+    params = init_params(rng, cfg)
+    tx = make_optimizer(cfg)
+    return (
+        TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params["trainable"],
+            opt_state=tx.init(params["trainable"]),
+        ),
+        params["vgg19"],
+    )
+
+
+def image_loss_fn(params, vgg_params, content, style, models, cfg):
+    """The full image objective (reference train_image.py:103-136)."""
+    vit_c, vit_s, ada, vgg = (
+        models["vit_c"], models["vit_s"], models["adaFormer"], models["vgg19"]
+    )
+    pc, ps, pa = params["vit_c"], params["vit_s"], params["adaFormer"]
+
+    fc_vc = vit_c.apply({"params": pc}, content)
+    fs_vs = vit_s.apply({"params": ps}, style)
+    _, cs = ada.apply({"params": pa}, fc_vc, fs_vs)
+
+    fc_vs = vit_s.apply({"params": ps}, content)
+    fs_vc = vit_c.apply({"params": pc}, style)
+    _, cc = ada.apply({"params": pa}, fc_vc, fc_vs)
+    _, ss = ada.apply({"params": pa}, fs_vc, fs_vs)
+
+    vgg_of = lambda x: vgg.apply({"params": vgg_params}, x)
+    vgg_fs = vgg_of(style)
+    vgg_fc = vgg_of(content)
+    vgg_fcs = vgg_of(cs)
+    vgg_fcc = vgg_of(cc)
+    vgg_fss = vgg_of(ss)
+
+    loss_gs = L.global_style_loss(vgg_fcs, vgg_fs) * cfg.lambda_gs
+    loss_lf = (
+        L.local_feature_loss(vgg_fc, vgg_fs, vgg_fcs, cfg.model.activation)
+        * cfg.lambda_lf
+    )
+    loss_id1 = L.identity_loss_1(cc, content, ss, style) * cfg.lambda_id1
+    loss_id2 = L.identity_loss_2(vgg_fcc, vgg_fc, vgg_fss, vgg_fs) * cfg.lambda_id2
+    loss = loss_gs + loss_lf + loss_id1 + loss_id2
+    metrics = {
+        "loss": loss, "loss_gs": loss_gs, "loss_lf": loss_lf,
+        "loss_id1": loss_id1, "loss_id2": loss_id2,
+    }
+    return loss, metrics
+
+
+def make_image_train_step(cfg: ImageTrainConfig, models=None, donate: bool = True):
+    """Returns jitted ``step(state, vgg_params, content, style) -> (state, metrics)``.
+
+    content/style: (B, H, W, 3) float32 0-255, shardable on the batch axis.
+    """
+    models = models or build_models(cfg, for_training=True)
+    tx = make_optimizer(cfg)
+
+    def step(state: TrainState, vgg_params, content, style):
+        (loss, metrics), grads = jax.value_and_grad(
+            image_loss_fn, has_aux=True
+        )(state.params, vgg_params, content, style, models, cfg)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,63 @@
+"""Host-side image I/O in the reference's pixel conventions.
+
+Pixels are float32 RGB in [0, 255], NHWC on device (reference utilities.py:
+11-52 keeps 0-255 tensors end-to-end).
+"""
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def to_tensor255(img) -> np.ndarray:
+    """PIL image / HWC uint8 array -> float32 HWC in [0, 255]."""
+    return np.asarray(img, dtype=np.float32)
+
+
+def load_image(
+    path: str, size_hw: Optional[Tuple[int, int]] = None
+) -> np.ndarray:
+    """Load RGB image, optional PIL-bilinear resize to (H, W); float32 0-255.
+
+    Matches reference infer_image.py:69-77 (PIL Image.BILINEAR resize).
+    """
+    img = Image.open(path).convert("RGB")
+    if size_hw is not None:
+        img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+    return to_tensor255(img)
+
+
+def save_image(path: str, arr: np.ndarray) -> None:
+    """Save HWC float array (0-255, already clamped) as an image file."""
+    a = np.asarray(arr)
+    if a.ndim == 4:
+        a = a[0]
+    Image.fromarray(a.astype(np.uint8)).save(path)
+
+
+def cv2_to_tensor(img: np.ndarray, resize: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """BGR frame (cv2) -> float32 RGB HWC 0-255, optional INTER_AREA resize
+    to (width, height) — reference utilities.py:43-52."""
+    import cv2
+
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if resize is not None:
+        img = cv2.resize(img, resize, interpolation=cv2.INTER_AREA)
+    return img.astype(np.float32)
+
+
+def list_files(directory: str):
+    return sorted(f.path for f in os.scandir(directory) if f.is_file())
+
+
+def list_folders(directory: str):
+    return sorted(f.path for f in os.scandir(directory) if f.is_dir())
+
+
+def mkdir(directory: str, delete_existing_files: bool = False) -> None:
+    os.makedirs(directory, exist_ok=True)
+    if delete_existing_files:
+        for f in list_files(directory):
+            os.remove(f)

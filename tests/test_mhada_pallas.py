@@ -1,0 +1,83 @@
+"""Fused Pallas MHAda kernel vs the naive einsum formulation (interpret mode
+on CPU; the real-TPU path is exercised by bench.py and entry())."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mhada_tpu.ops.mhada import mhada_attention
+from mhada_tpu.ops.mhada_pallas import mhada_attention_pallas
+
+RNG = np.random.default_rng(0)
+
+
+def _inputs(b, h, n, m, d, scale=1.0):
+    q = jnp.asarray(RNG.standard_normal((b, h, n, d)) * scale, jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, h, m, d)) * scale, jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, h, m, d)), jnp.float32)
+    f = jnp.asarray(RNG.standard_normal((b, h, n, d)), jnp.float32)
+    return q, k, v, f
+
+
+@pytest.mark.parametrize(
+    "b,h,n,m,d",
+    [
+        (1, 2, 256, 256, 64),     # aligned
+        (1, 1, 256, 300, 64),     # key padding (masked -inf path)
+        (2, 2, 130, 128, 64),     # query padding
+        (1, 1, 512, 128, 64),     # multi-block query grid
+    ],
+)
+def test_pallas_matches_naive(b, h, n, m, d):
+    q, k, v, f = _inputs(b, h, n, m, d)
+    ref = mhada_attention(q, k, v, f, "softmax")
+    with pltpu.force_tpu_interpret_mode():
+        got = mhada_attention_pallas(q, k, v, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_pallas_large_logits_stable():
+    # unscaled softmax can see large Q.K products; max-subtraction must hold
+    q, k, v, f = _inputs(1, 1, 128, 128, 64, scale=10.0)
+    ref = mhada_attention(q, k, v, f, "softmax")
+    with pltpu.force_tpu_interpret_mode():
+        got = mhada_attention_pallas(q, k, v, f)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)
+
+
+def test_adaformer_pallas_matches_naive():
+    from mhada_tpu.models import AdaFormer
+
+    fc = [jnp.asarray(RNG.standard_normal((1, 8, 8, 64)), jnp.float32)
+          for _ in range(3)]
+    fs = [jnp.asarray(RNG.standard_normal((1, 6, 10, 64)), jnp.float32)
+          for _ in range(3)]
+    naive = AdaFormer(num_heads=4)
+    fused = AdaFormer(num_heads=4, use_pallas=True)
+    params = naive.init(jax.random.PRNGKey(0), fc, fs)["params"]
+    ref_fcs, ref_cs = naive.apply({"params": params}, fc, fs)
+    with pltpu.force_tpu_interpret_mode():
+        got_fcs, got_cs = fused.apply({"params": params}, fc, fs)
+    np.testing.assert_allclose(np.asarray(got_fcs), np.asarray(ref_fcs),
+                               atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_cs), np.asarray(ref_cs),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_vit_attention_pallas_matches_naive():
+    from mhada_tpu.models.layers import MultiHeadSelfAttention
+
+    x = jnp.asarray(RNG.standard_normal((1, 512, 128)), jnp.float32)
+    naive = MultiHeadSelfAttention(num_heads=2)
+    fused = MultiHeadSelfAttention(num_heads=2, use_pallas=True)
+    params = naive.init(jax.random.PRNGKey(0), x)["params"]
+    ref = naive.apply({"params": params}, x)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)

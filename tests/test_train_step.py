@@ -1,0 +1,82 @@
+"""Train-step smoke + multi-chip sharding tests (8 virtual CPU devices)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from mhada_tpu.config import ImageTrainConfig, VideoTrainConfig, ModelConfig
+from mhada_tpu.train.train_image import (
+    create_train_state,
+    make_image_train_step,
+    build_models,
+)
+from mhada_tpu.train.train_video import make_video_train_step
+
+TINY = ModelConfig(hidden_dim=64, mlp_dim=128, num_heads=4)
+
+
+def test_image_train_step_decreases_loss():
+    cfg = ImageTrainConfig(model=TINY, batch_size=2, image_size=(32, 32))
+    state, vgg = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_image_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    state, m0 = step(state, vgg, c, s)
+    for _ in range(3):
+        state, m = step(state, vgg, c, s)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(state.step) == 4
+
+
+def test_video_train_step_runs():
+    cfg = VideoTrainConfig(
+        model=TINY, batch_size=2, style_size=(32, 32), content_size=(32, 64)
+    )
+    from mhada_tpu.train.train_image import init_params, make_optimizer
+    from mhada_tpu.train.train_image import TrainState
+
+    icfg = ImageTrainConfig(model=TINY, image_size=(32, 32))
+    params = init_params(jax.random.PRNGKey(0), icfg)
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params["trainable"],
+        opt_state=tx.init(params["trainable"]),
+    )
+    step = make_video_train_step(cfg, donate=False)
+    rng = np.random.default_rng(1)
+    style = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    c1 = jnp.asarray(rng.uniform(0, 255, (2, 32, 64, 3)), jnp.float32)
+    c2 = jnp.asarray(rng.uniform(0, 255, (2, 32, 64, 3)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((2, 32, 64, 2)), jnp.float32)
+    mask = jnp.asarray(
+        (rng.uniform(size=(2, 32, 64)) > 0.2).astype(np.float32)
+    )
+    state, metrics = step(state, params["vgg19"], style, c1, c2, flow, mask)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_dryrun_multichip_8_devices():
+    assert len(jax.devices()) == 8, "conftest should give 8 cpu devices"
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    # compile-check on tiny shapes instead of 512^2 (CPU test budget):
+    # jit-lower and compile without executing the full-size graph.
+    lowered = jax.jit(fn).lower(*args)
+    assert lowered.compile() is not None
