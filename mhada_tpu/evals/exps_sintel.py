@@ -71,3 +71,65 @@ def run(
             for scene, loss in results.items():
                 w.writerow([scene, loss])
     return results
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    from ..config import ModelConfig
+    from ..train.train_image import build_models
+    from ..infer.image import init_inference_params, load_pth_params
+    from ..utils.image_io import load_image
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sintel", default="../datasets/MPI-Sintel-complete")
+    ap.add_argument("--style", required=True)
+    ap.add_argument("--style-size", type=int, nargs=2, default=(256, 256))
+    ap.add_argument("--size", type=int, nargs=2, default=(360, 640))
+    ap.add_argument("--scenes", nargs="*", default=DEFAULT_SCENES,
+                    help="'all' for every scene (exps_sintel_all behaviour)")
+    ap.add_argument("--mode", default="mae", choices=["mae", "mse"])
+    ap.add_argument("--flow-dir", help="precomputed flows")
+    ap.add_argument("--flow", default="farneback",
+                    help="flow backend when --flow-dir absent")
+    ap.add_argument("--csv", default="./results/sintel_results.csv")
+    ap.add_argument("--ada")
+    ap.add_argument("--vitc")
+    ap.add_argument("--vits")
+    args = ap.parse_args(argv)
+
+    models = build_models(
+        ModelConfig(attn_mode="batch_coupled" if args.ada else "spatial")
+    )
+    if args.ada:
+        params = load_pth_params(args.ada, args.vitc, args.vits)
+    else:
+        print("WARNING: random weights (smoke mode)")
+        params = init_inference_params(models, jax.random.PRNGKey(0))
+    style = load_image(args.style, tuple(args.style_size))
+
+    scenes = args.scenes
+    if scenes == ["all"]:
+        from ..utils.image_io import list_folders
+
+        scenes = [os.path.basename(p) for p in
+                  list_folders(os.path.join(args.sintel, "training/final"))]
+    flow_fn = None
+    if not args.flow_dir:
+        from .exps_video import make_flow_fn
+
+        flow_fn = make_flow_fn(args.flow)
+    results = run(
+        params, models, style, args.sintel, scenes=scenes,
+        image_size=tuple(args.size), flow_dir=args.flow_dir,
+        flow_fn=flow_fn, results_csv=args.csv, mode=args.mode,
+    )
+    print("Final Results:")
+    for scene, loss in results.items():
+        print(f"  {scene}: {loss:.4f}")
+
+
+if __name__ == "__main__":
+    main()

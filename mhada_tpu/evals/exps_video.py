@@ -70,6 +70,16 @@ def evaluate_clip(
     }
 
 
+def make_flow_fn(backend: str = "farneback"):
+    """Flow backend factory: 'farneback' (weight-free) by default; the
+    reference uses RAFT-large — plug one via data.flow_models.raft_flow_fn."""
+    from ..data.flow_models import farneback_flow_fn
+
+    if backend == "farneback":
+        return farneback_flow_fn()
+    raise ValueError(f"unknown flow backend: {backend}")
+
+
 def make_stylize_pair_fn(params, models, style_hwc, dtype=jnp.float32):
     """Shared-style two-frame stylizer (style encoded once,
     exps_video.py:52-58 / infer_video.py:58-61)."""
@@ -84,3 +94,54 @@ def make_stylize_pair_fn(params, models, style_hwc, dtype=jnp.float32):
         return np.asarray(cs1), np.asarray(cs2)
 
     return stylize_pair
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    from ..config import ModelConfig
+    from ..train.train_image import build_models
+    from ..infer.image import init_inference_params, load_pth_params
+    from ..utils.image_io import load_image
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--video", required=True)
+    ap.add_argument("--style", required=True)
+    ap.add_argument("--size", type=int, nargs=2, default=(256, 512),
+                    help="content H W")
+    ap.add_argument("--style-size", type=int, nargs=2, default=(256, 256))
+    ap.add_argument("--flow", default="farneback",
+                    help="flow backend (reference uses RAFT)")
+    ap.add_argument("--max-pairs", type=int, default=0)
+    ap.add_argument("--ada")
+    ap.add_argument("--vitc")
+    ap.add_argument("--vits")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args(argv)
+
+    models = build_models(
+        ModelConfig(attn_mode="batch_coupled" if args.ada else "spatial")
+    )
+    if args.ada:
+        params = load_pth_params(args.ada, args.vitc, args.vits)
+    else:
+        print("WARNING: random weights (smoke mode)")
+        params = init_inference_params(models, jax.random.PRNGKey(0))
+    style = load_image(args.style, tuple(args.style_size))
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    stylize_pair = make_stylize_pair_fn(params, models, style, dtype)
+    pairs = video_frame_pairs(args.video, (args.size[1], args.size[0]))
+    if args.max_pairs:
+        import itertools
+
+        pairs = itertools.islice(pairs, args.max_pairs)
+    out = evaluate_clip(pairs, stylize_pair, make_flow_fn(args.flow))
+    print(f"Warping Error: {out['warping_error']}")
+    print(f"Flow MSE: {out['flow_mse']}")
+
+
+if __name__ == "__main__":
+    main()

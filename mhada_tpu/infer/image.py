@@ -117,6 +117,69 @@ def stylize_image(
     return np.asarray(out[0])
 
 
+def save_feature_heatmaps(
+    fc, fs, fcs, out_dir: str, num_heads: int = 8
+) -> None:
+    """Diagnostic heatmaps (reference infer_image.py:97-184): per-layer mean
+    feature maps of fc/fs and per-head channel-group means of fcs, fc[-1],
+    fs[-1]."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def heat(arr2d, title, path):
+        plt.figure(figsize=(8, 8))
+        plt.imshow(np.asarray(arr2d), cmap="viridis")
+        plt.colorbar()
+        plt.title(title)
+        plt.xlabel("Token")
+        plt.ylabel("Token")
+        plt.savefig(path)
+        plt.close()
+
+    for idx, feat in enumerate(fc):
+        heat(np.asarray(feat[0]).mean(-1), f"Feature Maps {idx + 1}",
+             os.path.join(out_dir, f"attention_c_{idx}.png"))
+    for idx, feat in enumerate(fs):
+        heat(np.asarray(feat[0]).mean(-1), f"Feature Maps {idx + 1}",
+             os.path.join(out_dir, f"attention_s_{idx}.png"))
+
+    def per_head(feat_map, tag):
+        a = np.asarray(feat_map[0])  # (H, W, C)
+        hd = a.shape[-1] // num_heads
+        for h in range(num_heads):
+            heat(a[..., h * hd:(h + 1) * hd].mean(-1),
+                 f"{tag} - Head {h + 1}",
+                 os.path.join(out_dir, f"{tag}_head_{h + 1}.png"))
+
+    per_head(fcs, "fcs")
+    per_head(fc[-1], "fc")
+    per_head(fs[-1], "fs")
+
+
+def make_diagnostic_fn(models: Dict, dtype=jnp.float32):
+    """Jitted forward returning (fc, fs, fcs, cs) for analysis dumps."""
+
+    @jax.jit
+    def fn(params, content, style):
+        fc = models["vit_c"].apply({"params": params["vit_c"]},
+                                   content.astype(dtype))
+        fs = models["vit_s"].apply({"params": params["vit_s"]},
+                                   style.astype(dtype))
+        fcs, cs = models["adaFormer"].apply(
+            {"params": params["adaFormer"]}, fc, fs
+        )
+        return fc, fs, fcs, jnp.clip(cs.astype(jnp.float32), 0, 255)
+
+    return fn
+
+
 def main():
     from ..train.train_image import build_models
 
@@ -133,6 +196,8 @@ def main():
     ap.add_argument("--attn-mode", default=None,
                     choices=["spatial", "batch_coupled"],
                     help="default: batch_coupled when loading .pth weights")
+    ap.add_argument("--heatmaps", metavar="DIR",
+                    help="save feature/head heatmaps (infer_image.py:97-184)")
     args = ap.parse_args()
 
     use_pth = bool(args.ada)
@@ -150,10 +215,22 @@ def main():
     c = load_image(args.content, tuple(args.size))
     s = load_image(args.style, tuple(args.size))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    out = stylize_image(params, models, c, s, dtype)
     import os
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    if args.heatmaps:
+        fn = make_diagnostic_fn(models, dtype)
+        fc, fs, fcs, cs = fn(
+            params, jnp.asarray(c)[None], jnp.asarray(s)[None]
+        )
+        out = np.asarray(cs[0])
+        save_feature_heatmaps(
+            fc, fs, fcs, args.heatmaps,
+            num_heads=models["adaFormer"].num_heads,
+        )
+        print(f"heatmaps -> {args.heatmaps}")
+    else:
+        out = stylize_image(params, models, c, s, dtype)
     save_image(args.out, out)
     print(f"saved {args.out}  range=[{out.min():.1f}, {out.max():.1f}]")
 
