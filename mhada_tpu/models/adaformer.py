@@ -131,6 +131,7 @@ class AdaFormer(nn.Module):
     num_heads: int = 8
     activation: str = "softmax"
     use_pallas: bool = False
+    packed_decoder: bool = False
 
     @nn.compact
     def __call__(self, fc: List[jnp.ndarray], fs: List[jnp.ndarray]):
@@ -157,7 +158,7 @@ class AdaFormer(nn.Module):
 
         b, n, c = fcs.shape
         fcs_map = fcs.reshape(b, hw[0], hw[1], c)
-        cs = Decoder(name="decoder")(fcs_map)
+        cs = Decoder(packed=self.packed_decoder, name="decoder")(fcs_map)
         return fcs_map, cs
 
 

@@ -8,9 +8,27 @@ layer is conv+ReLU (NOT tanh — reference conv.py:93): outputs live in
 
 import flax.linen as nn
 
-from .layers import TorchConv
+from .layers import TorchConv, torch_uniform_init
 from ..ops.pad_conv import reflect_pad2d
 from ..ops.resize import upsample2x
+
+
+class _ConvParams(nn.Module):
+    """Parameter container with TorchConv's exact tree (kernel HWIO + bias)
+    for paths that consume raw weights (the packed decoder stage)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        k = self.kernel_size
+        fan_in = c_in * k * k
+        kernel = self.param(
+            "kernel", torch_uniform_init(fan_in), (k, k, c_in, self.features)
+        )
+        bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        return kernel, bias
 
 
 class ConvDepthwiseSeparable(nn.Module):
@@ -84,7 +102,47 @@ class ConvReluUp(nn.Module):
         return upsample2x(x)
 
 
+class ConvReluUpPacked(nn.Module):
+    """ConvReluUp emitting the 2x upsample in packed (space-to-depth) form.
+    Param tree identical to ConvReluUp."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pad_conv import conv2d
+        from ..ops.packed import upsample2x_packed
+
+        k, b = _ConvParams(self.features, self.kernel_size, name="conv")(
+            x.shape[-1]
+        )
+        x = reflect_pad2d(x, self.kernel_size // 2)
+        x = nn.relu(conv2d(x, k.astype(x.dtype), b.astype(x.dtype)))
+        return upsample2x_packed(x)
+
+
+class PackedConvReLU(nn.Module):
+    """ConvReLU on a packed tensor (exact). Param tree identical to ConvReLU."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, xp):
+        from ..ops.packed import packed_conv_relu
+
+        k, b = _ConvParams(self.features, name="conv")(xp.shape[-1])
+        return packed_conv_relu(xp, k, b)
+
+
 class Decoder(nn.Module):
+    """``packed=True`` executes the final (highest-resolution) stage in
+    space-to-depth packed form — element-exact, ~4x better MXU utilisation
+    for the C=64 convs (see ops/packed.py and PERF.md).  The param tree is
+    identical in both modes."""
+
+    packed: bool = False
+
     @nn.compact
     def __call__(self, fcs):
         x = ConvReluUp(256, name="up1")(fcs)
@@ -93,7 +151,14 @@ class Decoder(nn.Module):
         x = ConvReLU(256, name="c3")(x)
         x = ConvReluUp(128, name="up2")(x)
         x = ConvReLU(128, name="c4")(x)
-        x = ConvReluUp(64, name="up3")(x)
-        x = ConvReLU(64, name="c5")(x)
-        x = ConvReLU(3, name="c6")(x)
-        return x
+        if not self.packed:
+            x = ConvReluUp(64, name="up3")(x)
+            x = ConvReLU(64, name="c5")(x)
+            return ConvReLU(3, name="c6")(x)
+
+        from ..ops.packed import depth_to_space
+
+        xp = ConvReluUpPacked(64, name="up3")(x)
+        xp = PackedConvReLU(64, name="c5")(xp)
+        xp = PackedConvReLU(3, name="c6")(xp)
+        return depth_to_space(xp)

@@ -62,6 +62,7 @@ def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
         "adaFormer": AdaFormer(
             num_layers=m.num_layers, num_heads=m.num_heads,
             activation=m.activation, use_pallas=use_pallas,
+            packed_decoder=use_pallas,
         ),
         "vgg19": VGG19Features(),
     }

@@ -7,6 +7,8 @@ from .image_io import (
     list_files,
     list_folders,
     mkdir,
+    visualize_flow,
+    print_param_tree,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "list_files",
     "list_folders",
     "mkdir",
+    "visualize_flow",
+    "print_param_tree",
 ]

@@ -61,3 +61,30 @@ def mkdir(directory: str, delete_existing_files: bool = False) -> None:
     if delete_existing_files:
         for f in list_files(directory):
             os.remove(f)
+
+
+def visualize_flow(flow: np.ndarray) -> np.ndarray:
+    """HSV rendering of a flow field (reference utilities.py:154-165).
+
+    flow: (H, W, 2) -> BGR uint8 image (hue = direction, value = magnitude).
+    """
+    import cv2
+
+    hsv = np.zeros((flow.shape[0], flow.shape[1], 3), dtype=np.uint8)
+    hsv[..., 1] = 255
+    mag, ang = cv2.cartToPolar(
+        np.asarray(flow[..., 0], np.float32),
+        np.asarray(flow[..., 1], np.float32),
+    )
+    hsv[..., 0] = ang * 180 / np.pi / 2
+    hsv[..., 2] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+
+def print_param_tree(params, prefix: str = "") -> None:
+    """Name/shape listing of a param pytree (reference utilities.py:76-83)."""
+    if hasattr(params, "items"):
+        for k, v in params.items():
+            print_param_tree(v, f"{prefix}.{k}" if prefix else k)
+    else:
+        print(f"{prefix}: {tuple(params.shape)}")
