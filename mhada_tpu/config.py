@@ -37,6 +37,9 @@ class ImageTrainConfig:
     lambda_id1: float = 5e-2
     lambda_id2: float = 1e-1
     image_size: Tuple[int, int] = (256, 256)
+    # rematerialise the encoder/AdaFormer/VGG forwards in the backward pass
+    # (trades FLOPs for activation memory at large batch/resolution)
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -55,6 +58,7 @@ class VideoTrainConfig:
     lambda_id2: float = 1e-1
     style_size: Tuple[int, int] = (256, 256)
     content_size: Tuple[int, int] = (256, 512)
+    remat: bool = False
 
 
 @dataclass(frozen=True)

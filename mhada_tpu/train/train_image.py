@@ -105,23 +105,39 @@ def create_train_state(rng: jax.Array, cfg: ImageTrainConfig) -> Tuple[TrainStat
     )
 
 
+def _maybe_remat(fn, enable: bool):
+    return jax.checkpoint(fn) if enable else fn
+
+
 def image_loss_fn(params, vgg_params, content, style, models, cfg):
     """The full image objective (reference train_image.py:103-136)."""
     vit_c, vit_s, ada, vgg = (
         models["vit_c"], models["vit_s"], models["adaFormer"], models["vgg19"]
     )
     pc, ps, pa = params["vit_c"], params["vit_s"], params["adaFormer"]
+    remat = getattr(cfg, "remat", False)
+    vit_c_of = _maybe_remat(
+        lambda p, x: vit_c.apply({"params": p}, x), remat
+    )
+    vit_s_of = _maybe_remat(
+        lambda p, x: vit_s.apply({"params": p}, x), remat
+    )
+    ada_of = _maybe_remat(
+        lambda p, a, b: ada.apply({"params": p}, a, b), remat
+    )
 
-    fc_vc = vit_c.apply({"params": pc}, content)
-    fs_vs = vit_s.apply({"params": ps}, style)
-    _, cs = ada.apply({"params": pa}, fc_vc, fs_vs)
+    fc_vc = vit_c_of(pc, content)
+    fs_vs = vit_s_of(ps, style)
+    _, cs = ada_of(pa, fc_vc, fs_vs)
 
-    fc_vs = vit_s.apply({"params": ps}, content)
-    fs_vc = vit_c.apply({"params": pc}, style)
-    _, cc = ada.apply({"params": pa}, fc_vc, fc_vs)
-    _, ss = ada.apply({"params": pa}, fs_vc, fs_vs)
+    fc_vs = vit_s_of(ps, content)
+    fs_vc = vit_c_of(pc, style)
+    _, cc = ada_of(pa, fc_vc, fc_vs)
+    _, ss = ada_of(pa, fs_vc, fs_vs)
 
-    vgg_of = lambda x: vgg.apply({"params": vgg_params}, x)
+    vgg_of = _maybe_remat(
+        lambda x: vgg.apply({"params": vgg_params}, x), remat
+    )
     vgg_fs = vgg_of(style)
     vgg_fc = vgg_of(content)
     vgg_fcs = vgg_of(cs)

@@ -80,3 +80,29 @@ def test_entry_compiles():
     # jit-lower and compile without executing the full-size graph.
     lowered = jax.jit(fn).lower(*args)
     assert lowered.compile() is not None
+
+
+def test_image_train_step_with_remat():
+    cfg = ImageTrainConfig(
+        model=TINY, batch_size=2, image_size=(32, 32), remat=True
+    )
+    state, vgg = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_image_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    state, m = step(state, vgg, c, s)
+    assert np.isfinite(float(m["loss"]))
+
+    # remat must not change gradients: compare one step vs no-remat
+    cfg2 = ImageTrainConfig(model=TINY, batch_size=2, image_size=(32, 32))
+    state2, vgg2 = create_train_state(jax.random.PRNGKey(0), cfg2)
+    step2 = make_image_train_step(cfg2, donate=False)
+    state2, m2 = step2(state2, vgg2, c, s)
+    np.testing.assert_allclose(float(m["loss"]), float(m2["loss"]), rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(state.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l1, l2):
+        # recompute-order rounding shifts Adam updates by O(1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-3)
