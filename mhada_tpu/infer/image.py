@@ -104,6 +104,61 @@ def make_stylize_with_fs_fn(models: Dict, dtype=jnp.float32):
     return fn
 
 
+def precompute_style_kv(models: Dict, params: Dict, fs):
+    """Hoist ALL style-only MHAda work out of the streaming loop.
+
+    Per block j (layer i = j // 2): K = g_j(IN(fs_tok_i)), V = h_j(fs_tok_i)
+    — exactly AdaAttnMultiHead's key/value path (models/adaformer.py), which
+    depends only on the style features.  Returns a list of 2*num_layers
+    (k, v) tuples shaped (B, H, M, d) for ``AdaFormer(..., style_kv=...)``.
+    """
+    from ..ops.instance_norm import instance_norm_tokens
+
+    ada = models["adaFormer"]
+    pa = params["adaFormer"]
+    H = ada.num_heads
+
+    @jax.jit
+    def fn(pa, fs):
+        kv = []
+        for i in range(ada.num_layers):
+            f = fs[i]
+            b, h, w, c = f.shape
+            tok = f.reshape(b, h * w, c)
+            d = c // H
+            m = tok.shape[1]
+            kn = instance_norm_tokens(tok).reshape(b, m, H, d)
+            raw = tok.reshape(b, m, H, d)
+            for j in (2 * i, 2 * i + 1):
+                p = pa[f"ada{j}"]
+                dt = tok.dtype
+                k = jnp.einsum("bmhd,hde->bmhe", kn, p["g_kernel"].astype(dt)) \
+                    + p["g_bias"].astype(dt)
+                v = jnp.einsum("bmhd,hde->bmhe", raw, p["h_kernel"].astype(dt)) \
+                    + p["h_bias"].astype(dt)
+                kv.append((k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)))
+        return kv
+
+    return fn(pa, fs)
+
+
+def make_stylize_with_kv_fn(models: Dict, dtype=jnp.float32):
+    """Jitted streaming forward with fully precomputed style K/V
+    (the fastest per-frame path: vit_c + MHAda-with-cached-KV + decoder)."""
+
+    @jax.jit
+    def fn(params, content, style_kv):
+        fc = models["vit_c"].apply(
+            {"params": params["vit_c"]}, content.astype(dtype)
+        )
+        _, cs = models["adaFormer"].apply(
+            {"params": params["adaFormer"]}, fc, None, style_kv
+        )
+        return jnp.clip(cs.astype(jnp.float32), 0, 255)
+
+    return fn
+
+
 def stylize_image(
     params: Dict,
     models: Dict,

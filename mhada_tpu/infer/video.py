@@ -36,15 +36,23 @@ def stream_stylize(
 ):
     import cv2
 
-    from .image import make_encode_style_fn, make_stylize_with_fs_fn
+    from .image import (
+        make_encode_style_fn,
+        make_stylize_with_kv_fn,
+        precompute_style_kv,
+    )
 
     cap = cv2.VideoCapture(video_path)
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     mkdir(out_dir, delete_existing_files=True)
 
     encode = make_encode_style_fn(models, dtype)
-    stylize = make_stylize_with_fs_fn(models, dtype)
-    fs = encode(params, jnp.asarray(style_hwc)[None])
+    stylize = make_stylize_with_kv_fn(models, dtype)
+    # style-only work (features AND MHAda keys/values) hoisted out of the
+    # frame loop (reference infer_video.py:58-61, taken further)
+    fs = precompute_style_kv(
+        models, params, encode(params, jnp.asarray(style_hwc)[None])
+    )
 
     frame_q: "queue.Queue" = queue.Queue(maxsize=4)
 

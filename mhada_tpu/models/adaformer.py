@@ -43,7 +43,10 @@ class AdaAttnMultiHead(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, fc, fs, fcs):
+    def __call__(self, fc, fs, fcs, style_kv=None):
+        """``style_kv``: optional precomputed ((B,H,M,d), (B,H,M,d)) keys/
+        values — they depend only on the style, so streaming callers compute
+        them once per style (see infer.image.precompute_style_kv)."""
         C = fc.shape[-1]
         H = self.num_heads
         d = C // H
@@ -60,26 +63,32 @@ class AdaAttnMultiHead(nn.Module):
         hk, hb = headed_proj("h")
 
         qn = instance_norm_tokens(fc)
-        kn = instance_norm_tokens(fs)
         fcs_n = instance_norm_tokens(fcs)
 
         B, N, _ = fc.shape
-        M = fs.shape[1]
         dt = fc.dtype
         q = jnp.einsum(
             "bnhd,hde->bnhe", qn.reshape(B, N, H, d), fk.astype(dt)
         ) + fb.astype(dt)
-        k = jnp.einsum(
-            "bmhd,hde->bmhe", kn.reshape(B, M, H, d), gk.astype(dt)
-        ) + gb.astype(dt)
-        v = jnp.einsum(
-            "bmhd,hde->bmhe", fs.reshape(B, M, H, d), hk.astype(dt)
-        ) + hb.astype(dt)
+
+        if style_kv is None:
+            M = fs.shape[1]
+            kn = instance_norm_tokens(fs)
+            k = jnp.einsum(
+                "bmhd,hde->bmhe", kn.reshape(B, M, H, d), gk.astype(dt)
+            ) + gb.astype(dt)
+            v = jnp.einsum(
+                "bmhd,hde->bmhe", fs.reshape(B, M, H, d), hk.astype(dt)
+            ) + hb.astype(dt)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+        else:
+            k, v = style_kv
 
         out = mhada_attention(
             q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
+            k,
+            v,
             fcs_n.reshape(B, N, H, d).transpose(0, 2, 1, 3),
             activation=self.activation,
             use_pallas=self.use_pallas,
@@ -134,27 +143,40 @@ class AdaFormer(nn.Module):
     packed_decoder: bool = False
 
     @nn.compact
-    def __call__(self, fc: List[jnp.ndarray], fs: List[jnp.ndarray]):
+    def __call__(
+        self,
+        fc: List[jnp.ndarray],
+        fs: List[jnp.ndarray],
+        style_kv: List = None,
+    ):
+        """``style_kv``: optional list of 2*num_layers (k, v) tuples from
+        ``infer.image.precompute_style_kv`` (style-only work hoisted out of
+        the per-frame streaming path); ``fs`` may then be None."""
         fc_tok = []
         fs_tok = []
         hw = None
         for f in fc:
             t, hw = _to_tokens(f)
             fc_tok.append(t)
-        for f in fs:
-            t, _ = _to_tokens(f)
-            fs_tok.append(t)
+        if style_kv is None:
+            for f in fs:
+                t, _ = _to_tokens(f)
+                fs_tok.append(t)
+        else:
+            fs_tok = [None] * self.num_layers
 
         fcs = fc_tok[0]
         for i in range(self.num_layers):
             fcs = AdaAttnMultiHead(
                 self.num_heads, self.activation, self.use_pallas,
                 name=f"ada{2 * i}",
-            )(fc_tok[i], fs_tok[i], fcs)
+            )(fc_tok[i], fs_tok[i], fcs,
+              style_kv[2 * i] if style_kv else None)
             fcs = AdaAttnMultiHead(
                 self.num_heads, self.activation, self.use_pallas,
                 name=f"ada{2 * i + 1}",
-            )(fcs, fs_tok[i], fcs)
+            )(fcs, fs_tok[i], fcs,
+              style_kv[2 * i + 1] if style_kv else None)
 
         b, n, c = fcs.shape
         fcs_map = fcs.reshape(b, hw[0], hw[1], c)

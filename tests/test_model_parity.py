@@ -129,3 +129,26 @@ def test_cosine_activation_parity():
         activation="cosine",
     )
     np.testing.assert_allclose(nchw(got), ref, atol=5e-4, rtol=1e-3)
+
+
+def test_style_kv_precompute_matches_full():
+    """AdaFormer with precomputed style K/V must equal the full path."""
+    from mhada_tpu.config import ModelConfig
+    from mhada_tpu.train.train_image import build_models
+    from mhada_tpu.infer.image import init_inference_params, precompute_style_kv
+
+    models = build_models(ModelConfig(hidden_dim=64, mlp_dim=128, num_heads=4))
+    params = init_inference_params(models, __import__("jax").random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    fc = [jnp.asarray(rng.standard_normal((1, 8, 8, 64)), jnp.float32)
+          for _ in range(3)]
+    fs = [jnp.asarray(rng.standard_normal((1, 6, 10, 64)), jnp.float32)
+          for _ in range(3)]
+    ada = models["adaFormer"]
+    ref_fcs, ref_cs = ada.apply({"params": params["adaFormer"]}, fc, fs)
+    kv = precompute_style_kv(models, params, fs)
+    got_fcs, got_cs = ada.apply({"params": params["adaFormer"]}, fc, None, kv)
+    np.testing.assert_allclose(np.asarray(got_fcs), np.asarray(ref_fcs),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_cs), np.asarray(ref_cs),
+                               atol=1e-5, rtol=1e-5)
