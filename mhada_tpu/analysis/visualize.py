@@ -111,3 +111,88 @@ def invert_vgg_features(
 
     target = [jax.lax.stop_gradient(f) for f in feats(target_img)]
     return _invert(feats, target, target_img.shape, lr, iters)
+
+
+def main(argv=None):
+    """CLI for the feature-inversion tools (reference visual_vit.py /
+    visual_mhada.py / visual_cnn.py as one driver)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import ModelConfig
+    from ..train.train_image import build_models
+    from ..infer.image import init_inference_params, load_pth_params
+    from ..utils.image_io import load_image, save_image
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--mode", required=True, choices=["vit", "mhada", "vgg"])
+    ap.add_argument("--target", required=True, help="target image")
+    ap.add_argument("--style", help="style image (mhada mode)")
+    ap.add_argument("--out", default="./results/inversion.png")
+    ap.add_argument("--size", type=int, nargs=2, default=(256, 256))
+    ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--lr", type=float, default=0.5)
+    ap.add_argument("--last-layer", type=int, default=3,
+                    help="vgg mode: reconstruct from relu1..k")
+    ap.add_argument("--ada")
+    ap.add_argument("--vitc")
+    ap.add_argument("--vits")
+    ap.add_argument("--vgg19", help="torchvision VGG19 .pth (vgg mode)")
+    args = ap.parse_args(argv)
+
+    models = build_models(
+        ModelConfig(attn_mode="batch_coupled" if args.ada else "spatial")
+    )
+    if args.ada:
+        params = load_pth_params(args.ada, args.vitc, args.vits)
+    else:
+        print("WARNING: random weights (smoke mode)")
+        params = init_inference_params(models, jax.random.PRNGKey(0))
+    target = jnp.asarray(load_image(args.target, tuple(args.size)))[None]
+
+    if args.mode == "vit":
+        apply = lambda x: models["vit_c"].apply({"params": params["vit_c"]}, x)
+        img = invert_vit_features(apply, target, args.lr, args.iters)
+    elif args.mode == "mhada":
+        assert args.style, "--style required for mhada mode"
+        style = jnp.asarray(load_image(args.style, tuple(args.size)))[None]
+        fs = models["vit_s"].apply({"params": params["vit_s"]}, style)
+
+        def fcs_fn(img):
+            fc = models["vit_c"].apply({"params": params["vit_c"]}, img)
+            fcs, _ = models["adaFormer"].apply(
+                {"params": params["adaFormer"]}, fc, fs
+            )
+            return fcs
+
+        img = invert_mhada_features(fcs_fn, target, style, args.lr, args.iters)
+    else:
+        if args.vgg19:
+            from ..interop import load_pth, import_vgg19
+
+            vgg_params = import_vgg19(load_pth(args.vgg19))
+        else:
+            print("WARNING: random VGG weights")
+            from ..models import VGG19Features
+
+            vgg_params = VGG19Features().init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+            )["params"]
+        from ..models import VGG19Features
+
+        model = VGG19Features()
+        apply = lambda x: model.apply({"params": vgg_params}, x)
+        img = invert_vgg_features(apply, target, args.last_layer,
+                                  args.lr, args.iters)
+
+    import os
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_image(args.out, normalize_per_channel(img[0]))
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,11 @@ def stream_stylize(
     show: bool = False,
     write_mp4: bool = True,
     max_frames: int = 0,
+    chunk: int = 1,
 ):
+    """``chunk`` > 1 processes that many frames per device dispatch via
+    lax.scan (identical per-frame outputs; amortises dispatch overhead for
+    offline transcode — use 1 for live preview latency)."""
     import cv2
 
     from .image import (
@@ -54,6 +58,17 @@ def stream_stylize(
         models, params, encode(params, jnp.asarray(style_hwc)[None])
     )
 
+    if chunk > 1:
+        base = stylize
+
+        @jax.jit
+        def stylize_chunk(params, frames, kv):
+            def body(_, c):
+                return 0.0, base(params, c, kv)
+
+            _, out = jax.lax.scan(body, 0.0, frames)
+            return out
+
     frame_q: "queue.Queue" = queue.Queue(maxsize=4)
 
     def reader():
@@ -71,18 +86,34 @@ def stream_stylize(
     frames = []
     idx = 0
     pending = None  # overlap: dispatch frame i while writing frame i-1
-    while True:
-        item = frame_q.get()
-        if item is None:
-            break
-        if mode == "Stylized":
-            out = stylize(params, jnp.asarray(item)[None], fs)
-        else:
-            out = jnp.asarray(item)[None]
+
+    def emit(out):
+        nonlocal pending, idx
         if pending is not None:
             _flush(pending, frames, out_dir, show)
         pending = (idx, out)
         idx += 1
+
+    buf = []
+    while True:
+        item = frame_q.get()
+        if item is None:
+            break
+        if mode != "Stylized":
+            emit(jnp.asarray(item)[None])
+        elif chunk <= 1:
+            emit(stylize(params, jnp.asarray(item)[None], fs))
+        else:
+            buf.append(item)
+            if len(buf) == chunk:
+                outs = stylize_chunk(
+                    params, jnp.asarray(np.stack(buf))[:, None], fs
+                )
+                for j in range(chunk):
+                    emit(outs[j])
+                buf = []
+    for item in buf:  # tail frames below chunk size
+        emit(stylize(params, jnp.asarray(item)[None], fs))
     if pending is not None:
         _flush(pending, frames, out_dir, show)
     cap.release()
@@ -133,6 +164,8 @@ def main(argv=None):
                     choices=["Stylized", "Original"])
     ap.add_argument("--show", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help=">1: frames per dispatch (offline throughput mode)")
     ap.add_argument("--ada")
     ap.add_argument("--vitc")
     ap.add_argument("--vits")
@@ -152,6 +185,7 @@ def main(argv=None):
     n = stream_stylize(
         params, models, args.video, style, args.out, tuple(args.size),
         dtype, args.mode, args.show, max_frames=args.max_frames,
+        chunk=args.chunk,
     )
     print(f"processed {n} frames -> {args.out}")
 

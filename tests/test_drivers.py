@@ -185,3 +185,32 @@ def test_hist_plot(tmp_path):
     paths = [_img(str(tmp_path / f"h{i}.png")) for i in range(2)]
     out = plot_bgr_histograms(paths, str(tmp_path / "hist.png"))
     assert os.path.exists(out)
+
+
+def test_video_driver_chunked(tmp_path, setup):
+    """chunk>1 must produce identical frames to chunk=1."""
+    import cv2
+
+    models, params = setup
+    vid = str(tmp_path / "in2.mp4")
+    frames = [RNG.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+              for _ in range(5)]
+    vw = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (96, 64))
+    for f in frames:
+        vw.write(f[:, :, ::-1])
+    vw.release()
+
+    from mhada_tpu.infer.video import stream_stylize
+
+    style = RNG.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    n1 = stream_stylize(params, models, vid, style, str(tmp_path / "o1"),
+                        (64, 96), write_mp4=False, chunk=1)
+    n2 = stream_stylize(params, models, vid, style, str(tmp_path / "o2"),
+                        (64, 96), write_mp4=False, chunk=2)
+    assert n1 == n2 == 5
+    import imageio
+
+    for i in range(5):
+        a = imageio.imread(tmp_path / "o1" / f"frame_{i:05d}.jpg")
+        b = imageio.imread(tmp_path / "o2" / f"frame_{i:05d}.jpg")
+        np.testing.assert_array_equal(a, b)
