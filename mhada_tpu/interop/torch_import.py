@@ -60,6 +60,20 @@ def import_vit(sd: Dict[str, np.ndarray], num_layers: int = 3) -> Dict:
     return p
 
 
+def import_vit_multiscale(sd: Dict[str, np.ndarray], num_layers: int = 3) -> Dict:
+    """Reference VisionTransformerMultiScale state_dict (vit.py:172-236) ->
+    VisionTransformerMultiScale params (adds stride-2 repatch embeddings)."""
+    p = import_vit(sd, num_layers)
+    for i in range(num_layers - 1):
+        p[f"repatch{i}"] = {
+            "proj": {
+                "kernel": _conv(sd[f"repatch.{i}.conv_proj.weight"]),
+                "bias": sd[f"repatch.{i}.conv_proj.bias"],
+            }
+        }
+    return p
+
+
 def _import_mhada_block(sd: Dict[str, np.ndarray], prefix: str, num_heads: int) -> Dict:
     """One AdaAttnMultiHead: per-head 1x1 convs -> (heads, d, d) stacks."""
 

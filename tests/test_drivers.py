@@ -214,3 +214,22 @@ def test_video_driver_chunked(tmp_path, setup):
         a = imageio.imread(tmp_path / "o1" / f"frame_{i:05d}.jpg")
         b = imageio.imread(tmp_path / "o2" / f"frame_{i:05d}.jpg")
         np.testing.assert_array_equal(a, b)
+
+
+def test_exps_image_all_csv(tmp_path, setup):
+    import csv
+
+    from mhada_tpu.evals.exps_image import MetricSuite
+    from mhada_tpu.evals.exps_image_all import run, FIELDNAMES
+
+    models, params = setup
+    cps = [_img(str(tmp_path / f"c{i}.jpg")) for i in range(2)]
+    sps = [_img(str(tmp_path / f"s{i}.jpg")) for i in range(2)]
+    rows = run(params, models, MetricSuite(), cps, sps,
+               str(tmp_path / "res"), (64, 64))
+    assert len(rows) == 5  # 2x2 grid + average
+    with open(tmp_path / "res" / "results_all.csv") as f:
+        rd = list(csv.DictReader(f))
+    assert list(rd[0].keys()) == FIELDNAMES
+    assert rd[-1]["content"] == "average"
+    assert os.path.exists(tmp_path / "res" / "content_1_style_1.jpg")

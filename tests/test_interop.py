@@ -107,3 +107,61 @@ def test_blocked_unpickle_rejects_arbitrary_classes(tmp_path):
         zf.writestr("archive/data.pkl", pickle.dumps(print))
     with pytest.raises(pickle.UnpicklingError, match="blocked"):
         load_pth(p)
+
+
+def test_export_import_roundtrip():
+    """our params -> torch state_dict -> our params must be identity."""
+    import jax
+    import jax.numpy as jnp
+
+    from mhada_tpu.models import VisionTransformer, AdaFormer
+    from mhada_tpu.interop import (
+        import_vit, import_adaformer,
+    )
+    from mhada_tpu.interop.torch_export import export_vit, export_adaformer
+
+    vit = VisionTransformer(hidden_dim=64, mlp_dim=128, num_heads=4)
+    pv = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    rt = import_vit({k: np.asarray(v) for k, v in export_vit(pv).items()})
+    a_map = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(pv)}
+    b_map = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(rt)}
+    assert set(a_map) == set(b_map)
+    for k in a_map:
+        np.testing.assert_array_equal(np.asarray(a_map[k]),
+                                      np.asarray(b_map[k]))
+
+    ada = AdaFormer(num_heads=4)
+    fc = [jnp.zeros((1, 4, 4, 64))] * 3
+    pa = ada.init(jax.random.PRNGKey(1), fc, fc)["params"]
+    rt = import_adaformer(export_adaformer(pa, num_heads=4), num_heads=4)
+    la = jax.tree_util.tree_leaves(pa)
+    lb = jax.tree_util.tree_leaves(rt)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_loads_into_reference_module():
+    """Exported state_dict must load strict=True into the reference module."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    import refnet
+
+    if not refnet.available():
+        pytest.skip("reference unavailable")
+    refvit, refada, _ = refnet.load()
+    import jax
+    import jax.numpy as jnp
+
+    from mhada_tpu.models import VisionTransformer
+    from mhada_tpu.interop.torch_export import export_vit
+
+    vit = VisionTransformer()  # full size to match reference defaults
+    pv = jax.jit(vit.init)(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))["params"]
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_vit(pv).items()}
+    tmodel = refvit.VisionTransformer(pos_embedding=True)
+    tmodel.load_state_dict(sd, strict=True)

@@ -152,3 +152,74 @@ def test_style_kv_precompute_matches_full():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_cs), np.asarray(ref_cs),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_vit_multiscale_parity():
+    refvit, _, _ = refnet.load()
+    torch.manual_seed(8)
+    tmodel = refvit.VisionTransformerMultiScale(pos_embedding=True).eval()
+    x = np.random.default_rng(9).uniform(0, 255, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = tmodel(torch.from_numpy(x))
+
+    from mhada_tpu.models import VisionTransformerMultiScale
+    from mhada_tpu.interop import import_vit_multiscale
+
+    model = VisionTransformerMultiScale(attn_mode="batch_coupled")
+    params = import_vit_multiscale(_sd(tmodel))
+    feats = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(feats) == 3
+    for ours, theirs in zip(feats, ref_feats):
+        np.testing.assert_allclose(nchw(ours), theirs.numpy(),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_encoder_block_convff_parity():
+    refvit, _, _ = refnet.load()
+    torch.manual_seed(10)
+    tblock = refvit.EncoderBlockConvFF(num_heads=4, hidden_dim=32,
+                                       mlp_dim=64).eval()
+    rng = np.random.default_rng(11)
+    h, w = 6, 8
+    x = rng.standard_normal((2, h * w, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tblock(torch.from_numpy(x), h, w).numpy()
+
+    from mhada_tpu.models.vit import EncoderBlockConvFF
+
+    sd = _sd(tblock)
+    params = {
+        "ln1": {"scale": sd["ln1.weight"], "bias": sd["ln1.bias"]},
+        "ln2": {"scale": sd["ln2.weight"], "bias": sd["ln2.bias"]},
+        "attention": {
+            "qkv_kernel": sd["attention.in_proj_weight"].T,
+            "qkv_bias": sd["attention.in_proj_bias"],
+            "out_proj": {
+                "kernel": sd["attention.out_proj.weight"].T,
+                "bias": sd["attention.out_proj.bias"],
+            },
+        },
+        "mlp": {
+            "conv_in": {
+                "kernel": sd["mlp.convIN.weight"].transpose(2, 3, 1, 0),
+                "bias": sd["mlp.convIN.bias"],
+            },
+            "conv_dw": {
+                # torch depthwise (C,1,3,3) -> HWIO (3,3,1,C)
+                "dw_kernel": sd["mlp.convDW.depthwise.weight"].transpose(2, 3, 1, 0),
+                "dw_bias": sd["mlp.convDW.depthwise.bias"],
+                "pointwise": {
+                    "kernel": sd["mlp.convDW.pointwise.weight"].transpose(2, 3, 1, 0),
+                    "bias": sd["mlp.convDW.pointwise.bias"],
+                },
+            },
+            "conv_out": {
+                "kernel": sd["mlp.convOUT.weight"].transpose(2, 3, 1, 0),
+                "bias": sd["mlp.convOUT.bias"],
+            },
+        },
+    }
+    block = EncoderBlockConvFF(num_heads=4, mlp_dim=64,
+                               attn_mode="batch_coupled")
+    got = block.apply({"params": params}, jnp.asarray(x), (h, w))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4, rtol=1e-3)
