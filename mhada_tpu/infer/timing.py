@@ -26,7 +26,8 @@ def measure(params, models, image_size=(512, 512), dtype=jnp.float32,
     from .image import (
         make_stylize_fn,
         make_encode_style_fn,
-        make_stylize_with_fs_fn,
+        make_stylize_with_kv_fn,
+        precompute_style_kv,
     )
 
     rng = np.random.default_rng(0)
@@ -37,15 +38,15 @@ def measure(params, models, image_size=(512, 512), dtype=jnp.float32,
 
     base_full = make_stylize_fn(models, dtype)
     encode = make_encode_style_fn(models, dtype)
-    base_fs = make_stylize_with_fs_fn(models, dtype)
+    base_kv = make_stylize_with_kv_fn(models, dtype)
 
     @jax.jit
     def full(p, c, s):
         return jnp.sum(base_full(p, c, s))
 
     @jax.jit
-    def with_fs(p, c, fs):
-        return jnp.sum(base_fs(p, c, fs))
+    def with_kv(p, c, kv):
+        return jnp.sum(base_kv(p, c, kv))
 
     # warmup / compile
     for i in range(warmup):
@@ -59,17 +60,17 @@ def measure(params, models, image_size=(512, 512), dtype=jnp.float32,
     _ = float(r)
     ref_ms = (time.perf_counter() - t0) / iters * 1000
 
-    # steady state: style amortised
-    fs = encode(params, style)
+    # steady state: all style-only work amortised (features + MHAda K/V)
+    kv = precompute_style_kv(models, params, encode(params, style))
     for i in range(warmup):
-        r = with_fs(params, cs[i % 4], fs)
+        r = with_kv(params, cs[i % 4], kv)
     _ = float(r)
     lat = []
     chunk = 10
     for start in range(0, iters, chunk):
         t0 = time.perf_counter()
         for i in range(start, start + chunk):
-            r = with_fs(params, cs[i % 4], fs)
+            r = with_kv(params, cs[i % 4], kv)
         _ = float(r)
         lat.append((time.perf_counter() - t0) / chunk * 1000)
     lat = np.asarray(lat)

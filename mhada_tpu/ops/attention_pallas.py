@@ -48,8 +48,7 @@ def _pad_axis(x, axis, size):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_n"))
-def attention_pallas(q, k, v, scale: float, block_n: int = 256):
+def _attention_pallas_call(q, k, v, scale: float, block_n: int = 256):
     """softmax(q k^T * scale) v for (B, H, N, D) / (B, H, M, D) inputs."""
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -83,3 +82,41 @@ def attention_pallas(q, k, v, scale: float, block_n: int = 256):
         ),
     )(qf, kf, vf)
     return out[:, :n].reshape(b, h, n, d)
+
+
+def _attn_fwd_impl(q, k, v, scale, block_n=256):
+    return _attention_pallas_call(q, k, v, scale, block_n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attn_custom(q, k, v, scale, block_n):
+    return _attn_fwd_impl(q, k, v, scale, block_n)
+
+
+def _attn_fwd(q, k, v, scale, block_n):
+    return _attn_fwd_impl(q, k, v, scale, block_n), (q, k, v)
+
+
+def _attn_bwd(scale, block_n, res, g):
+    """Standard softmax-attention backward, A rematerialised in XLA."""
+    q, k, v = res
+    f32 = jnp.float32
+    qf, kf, vf, gf = (x.astype(f32) for x in (q, k, v, g))
+    a = jax.nn.softmax(
+        jnp.einsum("bhnd,bhmd->bhnm", qf, kf) * scale, axis=-1
+    )
+    d_v = jnp.einsum("bhnm,bhnd->bhmd", a, gf)
+    d_a = jnp.einsum("bhnd,bhmd->bhnm", gf, vf)
+    d_logits = a * (d_a - jnp.sum(d_a * a, axis=-1, keepdims=True))
+    d_q = jnp.einsum("bhnm,bhmd->bhnd", d_logits, kf) * scale
+    d_k = jnp.einsum("bhnm,bhnd->bhmd", d_logits, qf) * scale
+    return d_q.astype(q.dtype), d_k.astype(k.dtype), d_v.astype(v.dtype)
+
+
+_attn_custom.defvjp(_attn_fwd, _attn_bwd)
+
+
+def attention_pallas(q, k, v, scale: float, block_n: int = 256):
+    """Fused attention with a custom VJP (XLA-rematerialised backward) so the
+    encoder can train through the kernel."""
+    return _attn_custom(q, k, v, scale, block_n)

@@ -75,12 +75,8 @@ def _pad_axis(x, axis, size):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def mhada_attention_pallas(q, k, v, fcs_n, block_n: int = 256):
-    """Drop-in replacement for ops.mhada.mhada_attention (softmax activation).
-
-    q, fcs_n: (B, H, N, D); k, v: (B, H, M, D).  Returns (B, H, N, D).
-    """
+def _mhada_pallas_fwd_impl(q, k, v, fcs_n, block_n: int = 256):
+    """Forward pallas_call (no VJP wiring) — see mhada_attention_pallas."""
     b, h, n, d = q.shape
     m = k.shape[2]
     bh = b * h
@@ -119,3 +115,77 @@ def mhada_attention_pallas(q, k, v, fcs_n, block_n: int = 256):
     )(qf, kf, vf, ff)
 
     return out[:, :n].reshape(b, h, n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _mhada_custom(q, k, v, fcs_n, block_n):
+    return _mhada_pallas_fwd_impl(q, k, v, fcs_n, block_n)
+
+
+def _mhada_fwd(q, k, v, fcs_n, block_n):
+    out = _mhada_pallas_fwd_impl(q, k, v, fcs_n, block_n)
+    return out, (q, k, v, fcs_n)
+
+
+def _mhada_bwd(block_n, res, g):
+    """Exact backward of the MHAda forward, recomputed in XLA.
+
+    Recomputes A = softmax(QK^T) (flash-style rematerialisation: the forward
+    never stored it), then backpropagates through
+
+        M1 = A V,  E2 = A V^2,  S = sqrt(clamp(E2 - M1^2, 1e-6)),
+        out = S * fcs_n + M1.
+
+    clamp gradient: zero where Var < 1e-6 (torch clamp semantics,
+    reference adaDecoder.py:191).
+    """
+    q, k, v, fcs_n = res
+    f32 = jnp.float32
+    qf, kf, vf, ff, gf = (x.astype(f32) for x in (q, k, v, fcs_n, g))
+
+    logits = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
+    a = jax.nn.softmax(logits, axis=-1)
+    v2 = jnp.square(vf)
+    m1 = jnp.einsum("bhnm,bhmd->bhnd", a, vf)
+    e2 = jnp.einsum("bhnm,bhmd->bhnd", a, v2)
+    var = e2 - jnp.square(m1)
+    var_c = jnp.clip(var, min=1e-6)
+    s = jnp.sqrt(var_c)
+
+    d_f = gf * s
+    d_s = gf * ff
+    d_var = jnp.where(var >= 1e-6, d_s * 0.5 / s, 0.0)
+    d_m1 = gf - 2.0 * m1 * d_var
+    d_e2 = d_var
+
+    d_a = (
+        jnp.einsum("bhnd,bhmd->bhnm", d_m1, vf)
+        + jnp.einsum("bhnd,bhmd->bhnm", d_e2, v2)
+    )
+    d_v = (
+        jnp.einsum("bhnm,bhnd->bhmd", a, d_m1)
+        + 2.0 * vf * jnp.einsum("bhnm,bhnd->bhmd", a, d_e2)
+    )
+    d_logits = a * (d_a - jnp.sum(d_a * a, axis=-1, keepdims=True))
+    d_q = jnp.einsum("bhnm,bhmd->bhnd", d_logits, kf)
+    d_k = jnp.einsum("bhnm,bhnd->bhmd", d_logits, qf)
+    return (
+        d_q.astype(q.dtype),
+        d_k.astype(k.dtype),
+        d_v.astype(v.dtype),
+        d_f.astype(fcs_n.dtype),
+    )
+
+
+_mhada_custom.defvjp(_mhada_fwd, _mhada_bwd)
+
+
+def mhada_attention_pallas(q, k, v, fcs_n, block_n: int = 256):
+    """Drop-in replacement for ops.mhada.mhada_attention (softmax activation).
+
+    q, fcs_n: (B, H, N, D); k, v: (B, H, M, D).  Returns (B, H, N, D).
+    Differentiable: the forward runs the fused VMEM kernel; the backward
+    rematerialises A in XLA (_mhada_bwd) with gradients matching the naive
+    einsum formulation.
+    """
+    return _mhada_custom(q, k, v, fcs_n, block_n)

@@ -31,11 +31,13 @@ class TrainState(struct.PyTreeNode):
 
 
 def resolve_mhada_backend(backend: str, for_training: bool) -> bool:
-    """'auto' -> fused Pallas kernel on TPU inference; naive for training
-    (the kernel is forward-only) and on CPU."""
+    """'auto' -> fused Pallas kernel on TPU (inference AND training — the
+    kernel has a custom VJP with an XLA-rematerialised backward); naive
+    einsum on CPU (no Pallas compile path)."""
+    del for_training  # kernel is differentiable since the custom VJP landed
     if backend == "pallas":
         return True
-    if backend == "naive" or for_training:
+    if backend == "naive":
         return False
     return jax.default_backend() not in ("cpu",)
 

@@ -81,3 +81,51 @@ def test_vit_attention_pallas_matches_naive():
         got = fused.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=1e-3)
+
+
+def test_pallas_vjp_matches_naive_grads():
+    """Gradients through the fused kernel (custom VJP, XLA-rematerialised
+    backward) must match autodiff of the naive formulation."""
+    q, k, v, f = _inputs(1, 2, 128, 160, 64)
+
+    def loss_naive(args):
+        q, k, v, f = args
+        out = mhada_attention(q, k, v, f, "softmax")
+        return jnp.sum(jnp.sin(out))
+
+    def loss_pallas(args):
+        q, k, v, f = args
+        out = mhada_attention_pallas(q, k, v, f)
+        return jnp.sum(jnp.sin(out))
+
+    g_ref = jax.grad(loss_naive)((q, k, v, f))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas)((q, k, v, f))
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_vit_attention_vjp_matches_naive_grads():
+    from mhada_tpu.ops.attention_pallas import attention_pallas
+
+    q, k, v, _ = _inputs(1, 2, 128, 128, 64)
+    scale = 0.125
+
+    def loss_naive(args):
+        q, k, v = args
+        a = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1
+        )
+        return jnp.sum(jnp.sin(jnp.einsum("bhnm,bhmd->bhnd", a, v)))
+
+    def loss_pallas(args):
+        q, k, v = args
+        return jnp.sum(jnp.sin(attention_pallas(q, k, v, scale)))
+
+    g_ref = jax.grad(loss_naive)((q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas)((q, k, v))
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-2)
