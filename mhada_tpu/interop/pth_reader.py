@@ -57,6 +57,14 @@ def _rebuild_tensor_v2(storage, storage_offset, size, stride, *_args):
     ).copy()
 
 
+class _ODict(dict):
+    """OrderedDict stand-in tolerating pickle BUILD state (state_dicts carry
+    a ``_metadata`` attribute we don't need)."""
+
+    def __setstate__(self, state):
+        pass
+
+
 class _Unpickler(pickle.Unpickler):
     def __init__(self, file, zf: zipfile.ZipFile, prefix: str):
         super().__init__(file)
@@ -76,7 +84,7 @@ class _Unpickler(pickle.Unpickler):
         if name == "_rebuild_parameter":
             return lambda data, *a: data
         if module == "collections" and name == "OrderedDict":
-            return dict
+            return _ODict
         if name.endswith("Storage"):
             return name  # dtype tag for persistent_load
         if module == "torch" and name in ("float32", "float64", "float16",
