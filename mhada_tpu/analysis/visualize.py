@@ -10,7 +10,7 @@ prefixes (visual_cnn.py:69-97, LBFGS in the reference; Adam here — XLA has
 no LBFGS and the result is visual).
 """
 
-from typing import Callable, List
+from typing import Callable
 
 import numpy as np
 import jax

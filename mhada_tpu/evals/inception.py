@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax
 
-from ..ops.pad_conv import conv2d, max_pool2d
+from ..ops.pad_conv import max_pool2d
 
 
 class BasicConv2d(nn.Module):

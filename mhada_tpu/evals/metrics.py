@@ -20,7 +20,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pad_conv import conv2d
 
 ImageLike = Union[str, np.ndarray]
 

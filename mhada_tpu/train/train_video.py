@@ -9,7 +9,6 @@ reference evaluates VGG on c1/c2/style under no_grad (train_video.py:125-128)
 """
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..config import VideoTrainConfig
