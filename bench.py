@@ -106,10 +106,9 @@ def main():
     # variance.
     fs = encode(params, style)
     kv = precompute_style_kv(models, params, fs)
-    frames = jnp.stack(contents[:CHUNK])  # (CHUNK, 1, 512, 512, 3)
-    from mhada_tpu.utils.device import commit_to_device as _commit
-
-    frames = _commit(frames)
+    frames = commit_to_device(
+        jnp.stack(contents[:CHUNK])  # (CHUNK, 1, 512, 512, 3)
+    )
     s = stylize_chunk(params, frames, kv)
     _ = float(s)
     n_chunks = max(1, iters // CHUNK)

@@ -73,6 +73,17 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer stopped early, so the
+            # producer thread can't block forever on a full queue
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 pending = []
@@ -88,11 +99,10 @@ class DataLoader:
                         idxs = next(it, None)
                         if idxs is not None:
                             pending.append(pool.submit(self._load_batch, idxs))
-                        if stop.is_set():
+                        if not put(fut.result()):
                             return
-                        out_q.put(fut.result())
                 finally:
-                    out_q.put(None)
+                    put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

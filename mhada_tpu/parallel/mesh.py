@@ -72,14 +72,6 @@ def param_sharding_rules(path: str) -> P:
     return P()
 
 
-def _iter_with_paths(tree, prefix=""):
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            yield from _iter_with_paths(v, f"{prefix}/{k}" if prefix else k)
-    else:
-        yield prefix, tree
-
-
 def shard_params(mesh: Mesh, params: Any) -> Any:
     """Apply TP rules (head/MLP axes over 'model'), replicate the rest."""
 
