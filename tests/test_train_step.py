@@ -132,6 +132,51 @@ def test_sharded_inference_8_devices():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_tp_train_step_matches_single_device():
+    """One image train step on a (4, 2) dp x tp mesh must reproduce the
+    single-device step: same loss and same updated params (VERDICT item 7 —
+    a wrong TP rule in parallel/mesh.py must not pass silently)."""
+    from mhada_tpu.parallel import make_mesh, shard_batch, shard_params, replicate
+    from mhada_tpu.train.train_image import make_optimizer, TrainState
+
+    cfg = ImageTrainConfig(model=TINY, batch_size=4, image_size=(32, 32))
+    state, vgg = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_image_train_step(cfg, donate=False)
+    rng = np.random.default_rng(7)
+    c = rng.uniform(0, 255, (4, 32, 32, 3)).astype(np.float32)
+    s = rng.uniform(0, 255, (4, 32, 32, 3)).astype(np.float32)
+
+    ref_state, ref_m = step(state, vgg, jnp.asarray(c), jnp.asarray(s))
+
+    mesh = make_mesh(4, 2)
+    params = shard_params(mesh, state.params)
+    assert any(
+        len(x.sharding.device_set) == 8 and
+        x.sharding.spec != jax.sharding.PartitionSpec()
+        for x in jax.tree_util.tree_leaves(params)
+    ), "TP rules matched nothing — test would be vacuous"
+    sh_state = TrainState(
+        step=state.step, params=params,
+        opt_state=make_optimizer(cfg).init(params),
+    )
+    vgg_sh = replicate(mesh, vgg)
+    cb, sb = shard_batch(mesh, (c, s))
+    new_state, m = step(sh_state, vgg_sh, cb, sb)
+
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    tp_leaves = jax.tree_util.tree_leaves_with_path(new_state.params)
+    for (pa, a), (pb, b) in zip(ref_leaves, tp_leaves):
+        assert pa == pb
+        # Adam's first step moves params by ~±lr (1e-4); where a gradient is
+        # ~0, psum reduction-order rounding can flip the update sign -> 2e-4.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 def test_loader_early_stop_no_hang():
     """Breaking out of a DataLoader iteration must not wedge the producer."""
     import time
