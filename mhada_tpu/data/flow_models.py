@@ -45,3 +45,35 @@ def raft_flow_fn(apply_fn: Callable) -> Callable:
         return np.asarray(apply_fn(a[None], b[None]))[0]
 
     return fn
+
+
+def make_raft_flow_fn(weights_path: str, num_iters: int = 12) -> Callable:
+    """Reference-protocol flow: JAX RAFT-large on imported torchvision
+    weights (reference datasets.py:98-121, exps_video.py:45-46; the last of
+    ``num_iters`` recurrent refinements is returned)."""
+    import jax
+
+    from ..interop import load_pth
+    from ..models.raft import RAFT, import_raft
+
+    params = import_raft(load_pth(weights_path))
+    model = RAFT(num_iters=num_iters)
+
+    @jax.jit
+    def apply_fn(a, b):
+        return model.apply({"params": params}, a, b)[-1]
+
+    return raft_flow_fn(apply_fn)
+
+
+def default_flow_fn(raft_weights: str | None = None) -> Callable:
+    """RAFT when weights are available (reference protocol), else Farnebäck.
+
+    ``raft_weights`` defaults to the ``MHADA_RAFT_WEIGHTS`` env var.
+    """
+    import os
+
+    path = raft_weights or os.environ.get("MHADA_RAFT_WEIGHTS")
+    if path:
+        return make_raft_flow_fn(path)
+    return farneback_flow_fn()

@@ -93,7 +93,8 @@ def main(argv=None):
     ap.add_argument("--mode", default="mae", choices=["mae", "mse"])
     ap.add_argument("--flow-dir", help="precomputed flows")
     ap.add_argument("--flow", default="farneback",
-                    help="flow backend when --flow-dir absent")
+                    help="flow backend when --flow-dir absent: 'farneback' "
+                         "or 'raft[:weights.pth]' (reference protocol)")
     ap.add_argument("--csv", default="./results/sintel_results.csv")
     ap.add_argument("--ada")
     ap.add_argument("--vitc")

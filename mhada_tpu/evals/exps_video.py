@@ -71,12 +71,29 @@ def evaluate_clip(
 
 
 def make_flow_fn(backend: str = "farneback"):
-    """Flow backend factory: 'farneback' (weight-free) by default; the
-    reference uses RAFT-large — plug one via data.flow_models.raft_flow_fn."""
-    from ..data.flow_models import farneback_flow_fn
+    """Flow backend factory.
+
+    - ``"raft"`` / ``"raft:<weights.pth>"`` — JAX RAFT-large on imported
+      torchvision weights (the reference protocol, exps_video.py:45);
+      without an explicit path the ``MHADA_RAFT_WEIGHTS`` env var is used.
+    - ``"farneback"`` — weight-free classical stand-in (default so the
+      harness runs without external downloads; numbers are then NOT
+      comparable to reference-protocol ones).
+    """
+    from ..data.flow_models import farneback_flow_fn, make_raft_flow_fn
 
     if backend == "farneback":
         return farneback_flow_fn()
+    if backend.startswith("raft"):
+        import os
+
+        path = (backend.split(":", 1)[1] if ":" in backend
+                else os.environ.get("MHADA_RAFT_WEIGHTS"))
+        if not path:
+            raise ValueError(
+                "raft backend needs weights: use 'raft:<raft_large.pth>' or "
+                "set MHADA_RAFT_WEIGHTS")
+        return make_raft_flow_fn(path)
     raise ValueError(f"unknown flow backend: {backend}")
 
 
