@@ -1,12 +1,14 @@
-"""Fused Pallas TPU kernel for standard scaled-dot-product self-attention.
+"""Fused Pallas TPU kernels for standard scaled-dot-product self-attention.
 
-Used by the ViT encoder blocks in ``spatial`` mode at inference: at 512^2 the
-token grid is 4096 and XLA's unfused path materialises (H, 4096, 4096) f32
-logits in HBM per block (~512 MB), which dominates encoder latency.  Here the
-(TN, M) score tile lives only in VMEM; K/V stay VMEM-resident per (b, h).
+Used by the ViT encoder blocks in ``spatial`` mode: at 512^2 the token grid
+is 4096 and XLA's unfused path materialises (H, 4096, 4096) f32 logits in
+HBM per block (~512 MB), which dominates encoder latency.
 
-Same single-pass structure as ops/mhada_pallas.py (keys fit VMEM; no online
-softmax needed).
+Same two regimes as ops/mhada_pallas.py: single-pass (K/V VMEM-resident,
+M <= 4096) and flash-style key streaming (online softmax) beyond.  The VJP
+is flash-style Pallas too: the forward saves the output and row lse, the
+backward streams tiles and rematerialises P = exp(scale*QK^T - lse) —
+no (N, M) matrix ever hits HBM, forward or backward.
 """
 
 import functools
@@ -15,6 +17,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .mhada_pallas import (
+    _pad_axis, _block_sizes, _LANES, _LSE_PAD, SINGLE_PASS_MAX_M,
+)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_actual: int):
@@ -39,17 +45,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_actual: int):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _pad_axis(x, axis, size):
-    pad = size - x.shape[axis]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
 def _attention_pallas_call(q, k, v, scale: float, block_n: int = 256):
-    """softmax(q k^T * scale) v for (B, H, N, D) / (B, H, M, D) inputs."""
+    """Single-pass softmax(q k^T * scale) v; (B, H, N, D) x (B, H, M, D)."""
     b, h, n, d = q.shape
     m = k.shape[2]
     bh = b * h
@@ -84,39 +81,304 @@ def _attention_pallas_call(q, k, v, scale: float, block_n: int = 256):
     return out[:, :n].reshape(b, h, n, d)
 
 
-def _attn_fwd_impl(q, k, v, scale, block_n=256):
+# ------------------------------------------------- streaming forward kernel
+
+
+def _stream_kernel(q_ref, k_ref, v_ref, *refs, scale: float, m_actual: int,
+                   tm: int, n_mb: int, with_res: bool):
+    if with_res:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        o_ref, m_scr, l_scr, acc_scr = refs
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, m_scr.dtype)
+        l_scr[...] = jnp.zeros(l_scr.shape, l_scr.dtype)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if m_actual % tm != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * tm
+        logits = jnp.where(col < m_actual, logits, -jnp.inf)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc_scr[...] * alpha + pv
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == n_mb - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        if with_res:
+            lse_ref[0] = jnp.broadcast_to(
+                m_scr[:, :1] + jnp.log(l), lse_ref.shape[1:])
+
+
+def _attn_stream_fwd_impl(q, k, v, scale, block_n, block_m, with_res):
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    bh = b * h
+    tn, tm, n_pad, m_pad = _block_sizes(n, m, block_n, block_m)
+
+    qf = _pad_axis(q.reshape(bh, n, d), 1, n_pad)
+    kf = _pad_axis(k.reshape(bh, m, d), 1, m_pad)
+    vf = _pad_axis(v.reshape(bh, m, d), 1, m_pad)
+
+    n_mb = m_pad // tm
+    grid = (bh, n_pad // tn, n_mb)
+    qspec = pl.BlockSpec((1, tn, d), lambda i, jn, jm: (i, jn, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, tm, d), lambda i, jn, jm: (i, jm, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [qspec]
+    out_shapes = [jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)]
+    if with_res:
+        out_specs.append(
+            pl.BlockSpec((1, tn, _LANES), lambda i, jn, jm: (i, jn, 0),
+                         memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bh, n_pad, _LANES), jnp.float32))
+
+    res = pl.pallas_call(
+        functools.partial(_stream_kernel, scale=scale, m_actual=m, tm=tm,
+                          n_mb=n_mb, with_res=with_res),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((tn, _LANES), jnp.float32),
+            pltpu.VMEM((tn, _LANES), jnp.float32),
+            pltpu.VMEM((tn, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * n_pad * m_pad * d * 2,
+            bytes_accessed=4 * bh * (n_pad * d * 2 + m_pad * d * 2),
+            transcendentals=bh * n_pad * m_pad,
+        ),
+    )(qf, kf, vf)
+
+    if not with_res:
+        return res[0][:, :n].reshape(b, h, n, d)
+    out = res[0][:, :n].reshape(b, h, n, d)
+    lse = res[1][:, :n, 0].reshape(b, h, n)
+    return out, lse
+
+
+# ------------------------------------------------ streaming backward kernels
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                   dq_ref, acc_scr, *, scale: float, m_actual: int,
+                   tm: int, n_mb: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    p = jnp.exp(logits - lse_ref[0][:, :1])
+    if m_actual % tm != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + j * tm
+        p = jnp.where(col < m_actual, p, 0.0)
+
+    da = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dl = p * (da - delta_ref[0][:, :1]) * scale
+    acc_scr[...] += jax.lax.dot_general(
+        dl.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_mb - 1)
+    def _finalize():
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(k_ref, v_ref, q_ref, g_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, acc_dk, acc_dv,
+                    *, scale: float, m_actual: int, tm: int, n_nb: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros(acc_dk.shape, acc_dk.dtype)
+        acc_dv[...] = jnp.zeros(acc_dv.shape, acc_dv.dtype)
+
+    jm = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    p = jnp.exp(logits - lse_ref[0][:, :1])
+    if m_actual % tm != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + jm * tm
+        p = jnp.where(col < m_actual, p, 0.0)
+
+    acc_dv[...] += jax.lax.dot_general(
+        p.astype(g.dtype), g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    da = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dl = p * (da - delta_ref[0][:, :1]) * scale
+    acc_dk[...] += jax.lax.dot_general(
+        dl.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_nb - 1)
+    def _finalize():
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[...].astype(dv_ref.dtype)
+
+
+def _attn_stream_bwd_impl(q, k, v, out, lse, g, scale, block_n, block_m):
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    bh = b * h
+    tn, tm, n_pad, m_pad = _block_sizes(n, m, block_n, block_m)
+
+    f32 = jnp.float32
+    gf = g.astype(f32)
+    delta = jnp.sum(gf * out.astype(f32), axis=-1)  # (b, h, n)
+
+    qf = _pad_axis(q.reshape(bh, n, d), 1, n_pad)
+    kf = _pad_axis(k.reshape(bh, m, d), 1, m_pad)
+    vf = _pad_axis(v.reshape(bh, m, d), 1, m_pad)
+    gp = _pad_axis(gf.reshape(bh, n, d), 1, n_pad)
+    lse_f = jnp.full((bh, n_pad, _LANES), _LSE_PAD, f32)
+    lse_f = lse_f.at[:, :n, :].set(lse.reshape(bh, n, 1))
+    delta_f = _pad_axis(
+        jnp.broadcast_to(delta.reshape(bh, n, 1), (bh, n, _LANES)), 1, n_pad
+    )
+
+    qspec = pl.BlockSpec((1, tn, d), lambda i, jn, jm: (i, jn, 0),
+                         memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, tn, _LANES), lambda i, jn, jm: (i, jn, 0),
+                           memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, tm, d), lambda i, jn, jm: (i, jm, 0),
+                          memory_space=pltpu.VMEM)
+    n_nb = n_pad // tn
+    n_mb = m_pad // tm
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, m_actual=m, tm=tm,
+                          n_mb=n_mb),
+        grid=(bh, n_nb, n_mb),
+        in_specs=[qspec, kvspec, kvspec, qspec, rowspec, rowspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((tn, d), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf, gp, lse_f, delta_f)
+
+    kvspec2 = pl.BlockSpec((1, tm, d), lambda i, jm, jn: (i, jm, 0),
+                           memory_space=pltpu.VMEM)
+    qspec2 = pl.BlockSpec((1, tn, d), lambda i, jm, jn: (i, jn, 0),
+                          memory_space=pltpu.VMEM)
+    rowspec2 = pl.BlockSpec((1, tn, _LANES), lambda i, jm, jn: (i, jn, 0),
+                            memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, m_actual=m, tm=tm,
+                          n_nb=n_nb),
+        grid=(bh, n_mb, n_nb),
+        in_specs=[kvspec2, kvspec2, qspec2, qspec2, rowspec2, rowspec2],
+        out_specs=[kvspec2, kvspec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, m_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, m_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tm, d), f32),
+            pltpu.VMEM((tm, d), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kf, vf, qf, gp, lse_f, delta_f)
+
+    return (
+        dq[:, :n].reshape(b, h, n, d),
+        dk[:, :m].reshape(b, h, m, d),
+        dv[:, :m].reshape(b, h, m, d),
+    )
+
+
+# ------------------------------------------------------------------ wiring
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attn_custom(q, k, v, scale, block_n, block_m, streaming):
+    if streaming:
+        return _attn_stream_fwd_impl(q, k, v, scale, block_n, block_m,
+                                     with_res=False)
     return _attention_pallas_call(q, k, v, scale, block_n)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _attn_custom(q, k, v, scale, block_n):
-    return _attn_fwd_impl(q, k, v, scale, block_n)
+def _attn_fwd(q, k, v, scale, block_n, block_m, streaming):
+    out, lse = _attn_stream_fwd_impl(q, k, v, scale, block_n, block_m,
+                                     with_res=True)
+    return out, (q, k, v, out, lse)
 
 
-def _attn_fwd(q, k, v, scale, block_n):
-    return _attn_fwd_impl(q, k, v, scale, block_n), (q, k, v)
-
-
-def _attn_bwd(scale, block_n, res, g):
-    """Standard softmax-attention backward, A rematerialised in XLA."""
-    q, k, v = res
-    f32 = jnp.float32
-    qf, kf, vf, gf = (x.astype(f32) for x in (q, k, v, g))
-    a = jax.nn.softmax(
-        jnp.einsum("bhnd,bhmd->bhnm", qf, kf) * scale, axis=-1
-    )
-    d_v = jnp.einsum("bhnm,bhnd->bhmd", a, gf)
-    d_a = jnp.einsum("bhnd,bhmd->bhnm", gf, vf)
-    d_logits = a * (d_a - jnp.sum(d_a * a, axis=-1, keepdims=True))
-    d_q = jnp.einsum("bhnm,bhmd->bhnd", d_logits, kf) * scale
-    d_k = jnp.einsum("bhnm,bhnd->bhmd", d_logits, qf) * scale
-    return d_q.astype(q.dtype), d_k.astype(k.dtype), d_v.astype(v.dtype)
+def _attn_bwd(scale, block_n, block_m, streaming, res, g):
+    q, k, v, out, lse = res
+    return _attn_stream_bwd_impl(q, k, v, out, lse, g, scale,
+                                 block_n, block_m)
 
 
 _attn_custom.defvjp(_attn_fwd, _attn_bwd)
 
 
-def attention_pallas(q, k, v, scale: float, block_n: int = 256):
-    """Fused attention with a custom VJP (XLA-rematerialised backward) so the
-    encoder can train through the kernel."""
-    return _attn_custom(q, k, v, scale, block_n)
+def attention_pallas(q, k, v, scale: float, block_n: int = 256,
+                     block_m: int = 512, streaming: bool | None = None):
+    """Fused attention with a flash-style Pallas VJP (forward saves out+lse,
+    backward streams tiles) so the encoder trains without ever materialising
+    the (N, M) attention matrix."""
+    if streaming is None:
+        streaming = k.shape[2] > SINGLE_PASS_MAX_M
+    return _attn_custom(q, k, v, scale, block_n, block_m, bool(streaming))

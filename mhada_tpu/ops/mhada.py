@@ -52,9 +52,10 @@ def mhada_attention(
     fcs_n: (B, H, Nq, D)  instance-normed current stylised features
     returns (B, H, Nq, D): S * fcs_n + M  (per reference adaDecoder.py:186-198)
 
-    ``use_pallas`` dispatches to the fused VMEM-resident kernel
-    (ops/mhada_pallas.py) — forward-only (inference path); training uses this
-    naive einsum formulation, which XLA differentiates.
+    ``use_pallas`` dispatches to the fused kernel (ops/mhada_pallas.py):
+    single-pass VMEM-resident up to M=4096, flash-style key streaming
+    beyond, with a flash-style Pallas VJP — fully differentiable.  This
+    naive einsum formulation is the CPU path and the test oracle.
     """
     if use_pallas and activation == "softmax":
         from .mhada_pallas import mhada_attention_pallas

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for MHAda adaptive attention.
+"""Fused Pallas TPU kernels for MHAda adaptive attention.
 
 Computes, per (batch*head) slice, without materialising the (N, M) attention
 matrix in HBM:
@@ -8,15 +8,20 @@ matrix in HBM:
     E2  = A V^2
     out = sqrt(clamp(E2 - M1^2, 1e-6)) * fcs_n + M1
 
-Design (SURVEY.md §7 step 3): grid = (B*H, N/TN) with the key/value tensors
-resident in VMEM per head (M,D <= 4096x64 -> ~2 MB bf16/f32, well under the
-16 MB VMEM budget), one query block per program.  The (TN, M) score tile
-lives only in VMEM; both reductions (A.V and A.V^2) reuse it.  Since the full
-key axis is in VMEM there is no need for online-softmax streaming — one pass,
-numerically identical to the naive version (max-subtracted softmax).
+Two forward regimes (SURVEY.md §5 long-context row, §7 step 3):
 
-Key-axis padding is masked with -inf logits; the query axis is padded by the
-caller and cropped after.
+- **single-pass** (``M <= 4096``, i.e. up to 512² inputs): K/V resident in
+  VMEM per head, one (TN, M) score tile, no online softmax — fastest.
+- **streaming** (larger M, e.g. 1024² -> M=16384): flash-style key-block
+  streaming with online softmax and running A·V / A·V² accumulators; VMEM
+  holds only (TN, TM) tiles, so N and M are unbounded.
+
+The backward is likewise flash-style Pallas (no (N, M) materialisation in
+XLA either): the forward saves M1/E2 and the row log-sum-exp, and two
+kernels stream the key (dQ) and query (dK, dV) axes, rematerialising
+P = exp(QK^T - lse) per tile.  Key identity making this cheap: the softmax
+Jacobian row term  sum_m A_nm dA_nm  equals  d_M1·M1 + d_E2·E2  row-wise,
+so it needs no extra pass.
 """
 
 import functools
@@ -25,6 +30,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+# Above this key length the single-pass kernel's VMEM working set
+# ((M, D) K/V + (TN, M) logits) stops fitting; stream instead.
+SINGLE_PASS_MAX_M = 4096
+_LSE_PAD = 1e30  # padded query rows: exp(x - 1e30) == 0 in f32
 
 
 def _kernel(q_ref, k_ref, v_ref, f_ref, o_ref, *, m_actual: int):
@@ -75,8 +86,16 @@ def _pad_axis(x, axis, size):
     return jnp.pad(x, widths)
 
 
+def _block_sizes(n, m, block_n, block_m):
+    tn = min(block_n, max(128, 1 << (n - 1).bit_length()))
+    tm = min(block_m, max(128, 1 << (m - 1).bit_length()))
+    n_pad = -(-n // tn) * tn
+    m_pad = -(-m // tm) * tm
+    return tn, tm, n_pad, m_pad
+
+
 def _mhada_pallas_fwd_impl(q, k, v, fcs_n, block_n: int = 256):
-    """Forward pallas_call (no VJP wiring) — see mhada_attention_pallas."""
+    """Single-pass forward pallas_call — see mhada_attention_pallas."""
     b, h, n, d = q.shape
     m = k.shape[2]
     bh = b * h
@@ -117,75 +136,360 @@ def _mhada_pallas_fwd_impl(q, k, v, fcs_n, block_n: int = 256):
     return out[:, :n].reshape(b, h, n, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _mhada_custom(q, k, v, fcs_n, block_n):
+# ------------------------------------------------- streaming forward kernel
+
+
+def _stream_kernel(q_ref, k_ref, v_ref, f_ref, *refs,
+                   m_actual: int, tm: int, n_mb: int, with_res: bool):
+    if with_res:
+        o_ref, m1e2_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        o_ref, m_scr, l_scr, acc_scr = refs
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, m_scr.dtype)
+        l_scr[...] = jnp.zeros(l_scr.shape, l_scr.dtype)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    q = q_ref[0]  # (TN, D)
+    k = k_ref[0]  # (TM, D)
+    v = v_ref[0]  # (TM, D)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TN, TM)
+    if m_actual % tm != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * tm
+        logits = jnp.where(col < m_actual, logits, -jnp.inf)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    vv = jnp.concatenate([v, jnp.square(v)], axis=-1)  # (TM, 2D)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), vv, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc_scr[...] * alpha + pv
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == n_mb - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        both = acc_scr[...] / l
+        d = q.shape[-1]
+        m1 = both[:, :d]
+        e2 = both[:, d:]
+        s = jnp.sqrt(jnp.clip(e2 - jnp.square(m1), min=1e-6))
+        o_ref[0] = (s * f_ref[0].astype(jnp.float32) + m1).astype(o_ref.dtype)
+        if with_res:
+            m1e2_ref[0] = both
+            lse_ref[0] = jnp.broadcast_to(
+                m_scr[:, :1] + jnp.log(l), lse_ref.shape[1:])
+
+
+def _mhada_stream_fwd_impl(q, k, v, fcs_n, block_n: int, block_m: int,
+                           with_res: bool):
+    """Streaming forward.  Returns out or (out, m1e2, lse)."""
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    bh = b * h
+    tn, tm, n_pad, m_pad = _block_sizes(n, m, block_n, block_m)
+
+    qf = _pad_axis(q.reshape(bh, n, d), 1, n_pad)
+    ff = _pad_axis(fcs_n.reshape(bh, n, d), 1, n_pad)
+    kf = _pad_axis(k.reshape(bh, m, d), 1, m_pad)
+    vf = _pad_axis(v.reshape(bh, m, d), 1, m_pad)
+
+    n_mb = m_pad // tm
+    grid = (bh, n_pad // tn, n_mb)
+
+    qspec = pl.BlockSpec((1, tn, d), lambda i, jn, jm: (i, jn, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, tm, d), lambda i, jn, jm: (i, jm, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((1, tn, d), lambda i, jn, jm: (i, jn, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)]
+    if with_res:
+        out_specs += [
+            pl.BlockSpec((1, tn, 2 * d), lambda i, jn, jm: (i, jn, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, _LANES), lambda i, jn, jm: (i, jn, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((bh, n_pad, 2 * d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad, _LANES), jnp.float32),
+        ]
+
+    res = pl.pallas_call(
+        functools.partial(_stream_kernel, m_actual=m, tm=tm, n_mb=n_mb,
+                          with_res=with_res),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, qspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((tn, _LANES), jnp.float32),
+            pltpu.VMEM((tn, _LANES), jnp.float32),
+            pltpu.VMEM((tn, 2 * d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * n_pad * m_pad * d * 3,
+            bytes_accessed=4 * bh * (3 * n_pad * d + 2 * m_pad * d),
+            transcendentals=bh * n_pad * m_pad,
+        ),
+    )(qf, kf, vf, ff)
+
+    out = res[0][:, :n].reshape(b, h, n, d)
+    if not with_res:
+        return out
+    m1e2 = res[1][:, :n].reshape(b, h, n, 2 * d)
+    lse = res[2][:, :n, 0].reshape(b, h, n)
+    return out, m1e2, lse
+
+
+# ------------------------------------------------ streaming backward kernels
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g2_ref, lse_ref, delta_ref,
+                   dq_ref, acc_scr, *, m_actual: int, tm: int, n_mb: int):
+    """Accumulates dQ for one query block while streaming key blocks.
+
+    g2 = [d_M1, d_E2] (TN, 2D);  dA = g2 @ [V, V^2]^T;
+    dlogits = P * (dA - delta);  dQ += dlogits @ K.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp(logits - lse_ref[0][:, :1])
+    if m_actual % tm != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + j * tm
+        p = jnp.where(col < m_actual, p, 0.0)
+
+    vv = jnp.concatenate([v, jnp.square(v)], axis=-1)  # (TM, 2D)
+    da = jax.lax.dot_general(
+        g2_ref[0], vv, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TN, TM)
+    dl = p * (da - delta_ref[0][:, :1])
+    acc_scr[...] += jax.lax.dot_general(
+        dl.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_mb - 1)
+    def _finalize():
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(k_ref, v_ref, q_ref, g2_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, acc_dk, acc_dv,
+                    *, m_actual: int, tm: int, n_nb: int):
+    """Accumulates dK, dV for one key block while streaming query blocks.
+
+    dV = P^T d_M1 + 2 V * (P^T d_E2);  dK = dlogits^T @ Q.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros(acc_dk.shape, acc_dk.dtype)
+        acc_dv[...] = jnp.zeros(acc_dv.shape, acc_dv.dtype)
+
+    jm = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0].astype(jnp.float32)
+    g2 = g2_ref[0]  # (TN, 2D)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TN, TM)
+    p = jnp.exp(logits - lse_ref[0][:, :1])
+    if m_actual % tm != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + jm * tm
+        p = jnp.where(col < m_actual, p, 0.0)
+
+    # P^T @ [d_M1, d_E2] -> (TM, 2D)
+    acc_dv[...] += jax.lax.dot_general(
+        p.astype(g2.dtype), g2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    vv = jnp.concatenate([v, jnp.square(v)], axis=-1)
+    da = jax.lax.dot_general(
+        g2, vv, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dl = p * (da - delta_ref[0][:, :1])
+    acc_dk[...] += jax.lax.dot_general(
+        dl.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_nb - 1)
+    def _finalize():
+        d = v.shape[-1]
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        dv = acc_dv[:, :d] + 2.0 * v * acc_dv[:, d:]
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _mhada_stream_bwd_impl(q, k, v, fcs_n, m1e2, lse, g,
+                           block_n: int, block_m: int):
+    """Flash-style backward: elementwise prologue in XLA, then two kernels."""
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    bh = b * h
+    tn, tm, n_pad, m_pad = _block_sizes(n, m, block_n, block_m)
+
+    f32 = jnp.float32
+    gf = g.astype(f32)
+    ff = fcs_n.astype(f32)
+    m1 = m1e2[..., :d]
+    e2 = m1e2[..., d:]
+    var = e2 - jnp.square(m1)
+    s = jnp.sqrt(jnp.clip(var, min=1e-6))
+    d_f = gf * s
+    # clamp gradient: zero where Var < 1e-6 (torch semantics, adaDecoder.py:191)
+    d_var = jnp.where(var >= 1e-6, gf * ff * 0.5 / s, 0.0)
+    d_m1 = gf - 2.0 * m1 * d_var
+    d_e2 = d_var
+    # softmax-Jacobian row term: sum_m A_nm dA_nm = d_M1.M1 + d_E2.E2
+    delta = jnp.sum(d_m1 * m1 + d_e2 * e2, axis=-1)  # (b, h, n)
+
+    g2 = jnp.concatenate([d_m1, d_e2], axis=-1)  # (b, h, n, 2d) f32
+    g2f = _pad_axis(g2.reshape(bh, n, 2 * d), 1, n_pad)
+    qf = _pad_axis(q.reshape(bh, n, d), 1, n_pad)
+    kf = _pad_axis(k.reshape(bh, m, d), 1, m_pad)
+    vf = _pad_axis(v.reshape(bh, m, d), 1, m_pad)
+    # padded query rows: lse = +big so P = exp(logits - lse) == 0 exactly
+    lse_f = jnp.full((bh, n_pad, _LANES), _LSE_PAD, f32)
+    lse_f = lse_f.at[:, :n, :].set(lse.reshape(bh, n, 1))
+    delta_f = _pad_axis(
+        jnp.broadcast_to(delta.reshape(bh, n, 1), (bh, n, _LANES)), 1, n_pad
+    )
+
+    qspec = pl.BlockSpec((1, tn, d), lambda i, jn, jm: (i, jn, 0),
+                         memory_space=pltpu.VMEM)
+    g2spec = pl.BlockSpec((1, tn, 2 * d), lambda i, jn, jm: (i, jn, 0),
+                          memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, tn, _LANES), lambda i, jn, jm: (i, jn, 0),
+                           memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, tm, d), lambda i, jn, jm: (i, jm, 0),
+                          memory_space=pltpu.VMEM)
+
+    n_nb = n_pad // tn
+    n_mb = m_pad // tm
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, m_actual=m, tm=tm, n_mb=n_mb),
+        grid=(bh, n_nb, n_mb),
+        in_specs=[qspec, kvspec, kvspec, g2spec, rowspec, rowspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((tn, d), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf, g2f, lse_f, delta_f)
+
+    # key-block outer, query-block inner
+    kvspec2 = pl.BlockSpec((1, tm, d), lambda i, jm, jn: (i, jm, 0),
+                           memory_space=pltpu.VMEM)
+    qspec2 = pl.BlockSpec((1, tn, d), lambda i, jm, jn: (i, jn, 0),
+                          memory_space=pltpu.VMEM)
+    g2spec2 = pl.BlockSpec((1, tn, 2 * d), lambda i, jm, jn: (i, jn, 0),
+                           memory_space=pltpu.VMEM)
+    rowspec2 = pl.BlockSpec((1, tn, _LANES), lambda i, jm, jn: (i, jn, 0),
+                            memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, m_actual=m, tm=tm, n_nb=n_nb),
+        grid=(bh, n_mb, n_nb),
+        in_specs=[kvspec2, kvspec2, qspec2, g2spec2, rowspec2, rowspec2],
+        out_specs=[kvspec2, kvspec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, m_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, m_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tm, d), f32),
+            pltpu.VMEM((tm, 2 * d), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kf, vf, qf, g2f, lse_f, delta_f)
+
+    return (
+        dq[:, :n].reshape(b, h, n, d),
+        dk[:, :m].reshape(b, h, m, d),
+        dv[:, :m].reshape(b, h, m, d),
+        d_f.astype(fcs_n.dtype),
+    )
+
+
+# ------------------------------------------------------------------ wiring
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _mhada_custom(q, k, v, fcs_n, block_n, block_m, streaming):
+    if streaming:
+        return _mhada_stream_fwd_impl(q, k, v, fcs_n, block_n, block_m,
+                                      with_res=False)
     return _mhada_pallas_fwd_impl(q, k, v, fcs_n, block_n)
 
 
-def _mhada_fwd(q, k, v, fcs_n, block_n):
-    out = _mhada_pallas_fwd_impl(q, k, v, fcs_n, block_n)
-    return out, (q, k, v, fcs_n)
+def _mhada_fwd(q, k, v, fcs_n, block_n, block_m, streaming):
+    out, m1e2, lse = _mhada_stream_fwd_impl(
+        q, k, v, fcs_n, block_n, block_m, with_res=True)
+    return out, (q, k, v, fcs_n, m1e2, lse)
 
 
-def _mhada_bwd(block_n, res, g):
-    """Exact backward of the MHAda forward, recomputed in XLA.
-
-    Recomputes A = softmax(QK^T) (flash-style rematerialisation: the forward
-    never stored it), then backpropagates through
-
-        M1 = A V,  E2 = A V^2,  S = sqrt(clamp(E2 - M1^2, 1e-6)),
-        out = S * fcs_n + M1.
-
-    clamp gradient: zero where Var < 1e-6 (torch clamp semantics,
-    reference adaDecoder.py:191).
-    """
-    q, k, v, fcs_n = res
-    f32 = jnp.float32
-    qf, kf, vf, ff, gf = (x.astype(f32) for x in (q, k, v, fcs_n, g))
-
-    logits = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
-    a = jax.nn.softmax(logits, axis=-1)
-    v2 = jnp.square(vf)
-    m1 = jnp.einsum("bhnm,bhmd->bhnd", a, vf)
-    e2 = jnp.einsum("bhnm,bhmd->bhnd", a, v2)
-    var = e2 - jnp.square(m1)
-    var_c = jnp.clip(var, min=1e-6)
-    s = jnp.sqrt(var_c)
-
-    d_f = gf * s
-    d_s = gf * ff
-    d_var = jnp.where(var >= 1e-6, d_s * 0.5 / s, 0.0)
-    d_m1 = gf - 2.0 * m1 * d_var
-    d_e2 = d_var
-
-    d_a = (
-        jnp.einsum("bhnd,bhmd->bhnm", d_m1, vf)
-        + jnp.einsum("bhnd,bhmd->bhnm", d_e2, v2)
-    )
-    d_v = (
-        jnp.einsum("bhnm,bhnd->bhmd", a, d_m1)
-        + 2.0 * vf * jnp.einsum("bhnm,bhnd->bhmd", a, d_e2)
-    )
-    d_logits = a * (d_a - jnp.sum(d_a * a, axis=-1, keepdims=True))
-    d_q = jnp.einsum("bhnm,bhmd->bhnd", d_logits, kf)
-    d_k = jnp.einsum("bhnm,bhnd->bhmd", d_logits, qf)
-    return (
-        d_q.astype(q.dtype),
-        d_k.astype(k.dtype),
-        d_v.astype(v.dtype),
-        d_f.astype(fcs_n.dtype),
-    )
+def _mhada_bwd(block_n, block_m, streaming, res, g):
+    q, k, v, fcs_n, m1e2, lse = res
+    return _mhada_stream_bwd_impl(q, k, v, fcs_n, m1e2, lse, g,
+                                  block_n, block_m)
 
 
 _mhada_custom.defvjp(_mhada_fwd, _mhada_bwd)
 
 
-def mhada_attention_pallas(q, k, v, fcs_n, block_n: int = 256):
+def mhada_attention_pallas(q, k, v, fcs_n, block_n: int = 256,
+                           block_m: int = 512, streaming: bool | None = None):
     """Drop-in replacement for ops.mhada.mhada_attention (softmax activation).
 
     q, fcs_n: (B, H, N, D); k, v: (B, H, M, D).  Returns (B, H, N, D).
-    Differentiable: the forward runs the fused VMEM kernel; the backward
-    rematerialises A in XLA (_mhada_bwd) with gradients matching the naive
-    einsum formulation.
+    ``streaming=None`` auto-selects: single-pass (K/V VMEM-resident) up to
+    M=4096, flash-style key streaming beyond.  Differentiable: the VJP runs
+    the streaming forward (saving M1/E2 + row lse) and two flash-style
+    backward kernels — nothing materialises the (N, M) attention matrix.
     """
-    return _mhada_custom(q, k, v, fcs_n, block_n)
+    if streaming is None:
+        streaming = k.shape[2] > SINGLE_PASS_MAX_M
+    return _mhada_custom(q, k, v, fcs_n, block_n, block_m, bool(streaming))

@@ -28,6 +28,8 @@ def _inputs(b, h, n, m, d, scale=1.0):
         (1, 1, 256, 300, 64),     # key padding (masked -inf path)
         (2, 2, 130, 128, 64),     # query padding
         (1, 1, 512, 128, 64),     # multi-block query grid
+        (1, 8, 1024, 256, 64),    # many heads, 1024 queries (r1 lastfailed)
+        (1, 1, 1024, 1024, 64),   # 1024-token square
     ],
 )
 def test_pallas_matches_naive(b, h, n, m, d):
@@ -35,6 +37,44 @@ def test_pallas_matches_naive(b, h, n, m, d):
     ref = mhada_attention(q, k, v, f, "softmax")
     with pltpu.force_tpu_interpret_mode():
         got = mhada_attention_pallas(q, k, v, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "b,h,n,m,d",
+    [
+        (1, 2, 256, 1024, 64),    # multi-key-block streaming, aligned
+        (1, 1, 256, 1200, 64),    # streaming + key padding in the last block
+        (1, 1, 300, 1024, 64),    # streaming + query padding
+    ],
+)
+def test_pallas_streaming_matches_naive(b, h, n, m, d):
+    """Flash-style key streaming (online softmax + running A.V/A.V^2),
+    forced on regardless of the auto threshold."""
+    q, k, v, f = _inputs(b, h, n, m, d)
+    ref = mhada_attention(q, k, v, f, "softmax")
+    with pltpu.force_tpu_interpret_mode():
+        got = mhada_attention_pallas(q, k, v, f, block_m=512, streaming=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_pallas_streaming_auto_threshold():
+    """M > SINGLE_PASS_MAX_M auto-selects the streaming path (1024^2-scale
+    keys shrunk via a tiny block_m would be slow in interpret mode, so the
+    threshold itself is monkeypatched instead)."""
+    import mhada_tpu.ops.mhada_pallas as mp
+
+    q, k, v, f = _inputs(1, 1, 128, 640, 64)
+    ref = mhada_attention(q, k, v, f, "softmax")
+    old = mp.SINGLE_PASS_MAX_M
+    try:
+        mp.SINGLE_PASS_MAX_M = 512  # force auto-streaming at m=640
+        with pltpu.force_tpu_interpret_mode():
+            got = mhada_attention_pallas(q, k, v, f, block_m=256)
+    finally:
+        mp.SINGLE_PASS_MAX_M = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-4, rtol=1e-3)
 
@@ -104,6 +144,89 @@ def test_pallas_vjp_matches_naive_grads():
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=1e-2)
+
+
+def test_pallas_streaming_vjp_matches_naive_grads():
+    """Gradients through the flash-style Pallas backward kernels with
+    multiple key AND query blocks (padding in both axes)."""
+    q, k, v, f = _inputs(1, 1, 300, 640, 64)
+
+    def loss_naive(args):
+        q, k, v, f = args
+        return jnp.sum(jnp.sin(mhada_attention(q, k, v, f, "softmax")))
+
+    def loss_pallas(args):
+        q, k, v, f = args
+        out = mhada_attention_pallas(q, k, v, f, block_n=128, block_m=256,
+                                     streaming=True)
+        return jnp.sum(jnp.sin(out))
+
+    g_ref = jax.grad(loss_naive)((q, k, v, f))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas)((q, k, v, f))
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_vit_attention_streaming_matches_naive():
+    from mhada_tpu.ops.attention_pallas import attention_pallas
+
+    q, k, v, _ = _inputs(1, 2, 256, 1200, 64)
+    scale = 0.125
+    ref = jax.nn.softmax(
+        jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1
+    )
+    ref = jnp.einsum("bhnm,bhmd->bhnd", ref, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_pallas(q, k, v, scale, block_m=512, streaming=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_vit_attention_streaming_vjp_matches_naive_grads():
+    from mhada_tpu.ops.attention_pallas import attention_pallas
+
+    q, k, v, _ = _inputs(1, 1, 300, 640, 64)
+    scale = 0.125
+
+    def loss_naive(args):
+        q, k, v = args
+        a = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1
+        )
+        return jnp.sum(jnp.sin(jnp.einsum("bhnm,bhmd->bhnd", a, v)))
+
+    def loss_pallas(args):
+        q, k, v = args
+        return jnp.sum(jnp.sin(attention_pallas(
+            q, k, v, scale, block_n=128, block_m=256, streaming=True)))
+
+    g_ref = jax.grad(loss_naive)((q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas)((q, k, v))
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_pallas_bf16_matches_naive():
+    """bf16 inputs (the TPU inference dtype) through both forward regimes."""
+    q, k, v, f = (x.astype(jnp.bfloat16) for x in _inputs(1, 2, 256, 640, 64))
+    ref = mhada_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                          v.astype(jnp.float32), f.astype(jnp.float32),
+                          "softmax")
+    with pltpu.force_tpu_interpret_mode():
+        single = mhada_attention_pallas(q, k, v, f, streaming=False)
+        stream = mhada_attention_pallas(q, k, v, f, block_m=256,
+                                        streaming=True)
+    for got in (single, stream):
+        assert got.dtype == jnp.bfloat16
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(ref))
+        # bf16 P on the MXU (a deliberate perf choice) + E2-M1^2 cancellation
+        # leave a small tail of larger errors; bound bulk and tail separately.
+        assert np.quantile(err, 0.99) < 5e-2, np.quantile(err, 0.99)
+        assert err.max() < 0.5, err.max()
 
 
 def test_vit_attention_vjp_matches_naive_grads():
