@@ -140,7 +140,7 @@ class AdaFormer(nn.Module):
     num_heads: int = 8
     activation: str = "softmax"
     use_pallas: bool = False
-    packed_decoder: bool = False
+    packed_decoder: bool | str = False  # False | True/"2x2" | "col"
 
     @nn.compact
     def __call__(

@@ -103,22 +103,27 @@ class ConvReluUp(nn.Module):
 
 
 class ConvReluUpPacked(nn.Module):
-    """ConvReluUp emitting the 2x upsample in packed (space-to-depth) form.
+    """ConvReluUp emitting the 2x upsample in packed (space-to-depth) form:
+    2x2 subpixels (``mode="2x2"``) or column-only (``mode="col"``).
     Param tree identical to ConvReluUp."""
 
     features: int
     kernel_size: int = 3
+    mode: str = "2x2"
 
     @nn.compact
     def __call__(self, x):
         from ..ops.pad_conv import conv2d
         from ..ops.packed import upsample2x_packed
+        from ..ops.colpacked import upsample2x_colpacked
 
         k, b = _ConvParams(self.features, self.kernel_size, name="conv")(
             x.shape[-1]
         )
         x = reflect_pad2d(x, self.kernel_size // 2)
         x = nn.relu(conv2d(x, k.astype(x.dtype), b.astype(x.dtype)))
+        if self.mode == "col":
+            return upsample2x_colpacked(x)
         return upsample2x_packed(x)
 
 
@@ -126,22 +131,33 @@ class PackedConvReLU(nn.Module):
     """ConvReLU on a packed tensor (exact). Param tree identical to ConvReLU."""
 
     features: int
+    mode: str = "2x2"
 
     @nn.compact
     def __call__(self, xp):
         from ..ops.packed import packed_conv_relu
+        from ..ops.colpacked import colpacked_conv_relu
 
         k, b = _ConvParams(self.features, name="conv")(xp.shape[-1])
+        if self.mode == "col":
+            return colpacked_conv_relu(xp, k, b)
         return packed_conv_relu(xp, k, b)
 
 
 class Decoder(nn.Module):
-    """``packed=True`` executes the final (highest-resolution) stage in
-    space-to-depth packed form — element-exact, ~4x better MXU utilisation
-    for the C=64 convs (see ops/packed.py and PERF.md).  The param tree is
-    identical in both modes."""
+    """``packed`` executes the final (highest-resolution) stage in
+    space-to-depth packed form — element-exact, better MXU utilisation for
+    the C=64 convs (see ops/packed.py, ops/colpacked.py, PERF.md):
 
-    packed: bool = False
+    - ``False``: plain unpacked convs;
+    - ``True`` / ``"2x2"``: 2x2 subpixel packing (4C channels, 4x redundant
+      FLOPs);
+    - ``"col"``: column-only packing (2C = 128 channels = MXU width, 2x
+      redundant FLOPs — half the work of "2x2" at the same utilisation).
+
+    The param tree is identical in all modes."""
+
+    packed: bool | str = False
 
     @nn.compact
     def __call__(self, fcs):
@@ -156,9 +172,14 @@ class Decoder(nn.Module):
             x = ConvReLU(64, name="c5")(x)
             return ConvReLU(3, name="c6")(x)
 
+        mode = "col" if self.packed == "col" else "2x2"
+        xp = ConvReluUpPacked(64, mode=mode, name="up3")(x)
+        xp = PackedConvReLU(64, mode=mode, name="c5")(xp)
+        xp = PackedConvReLU(3, mode=mode, name="c6")(xp)
+        if mode == "col":
+            from ..ops.colpacked import col_to_space
+
+            return col_to_space(xp)
         from ..ops.packed import depth_to_space
 
-        xp = ConvReluUpPacked(64, name="up3")(x)
-        xp = PackedConvReLU(64, name="c5")(xp)
-        xp = PackedConvReLU(3, name="c6")(xp)
         return depth_to_space(xp)

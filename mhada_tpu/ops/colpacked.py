@@ -1,0 +1,107 @@
+"""Column-packed (2x1 space-to-depth) execution of the 512^2 decoder stage.
+
+Round-1 packing (ops/packed.py) packs 2x2 subpixels: full MXU width
+(4C = 256 channels) but the block-structured 3x3 kernel is 75% structural
+zeros — 4x redundant FLOPs.  Packing the *width axis only* halves the
+redundancy at the same utilisation sweet spot:
+
+- packed tensor (B, H, J, 2, C) with J = W/2 and vx the column subpixel;
+- a 3x3 conv on the original domain is exactly a 3x3 conv on the packed
+  domain with a (3, 3, 2C, 2C) kernel: output column phase dx at packed
+  column (j) reads original columns 2j+dx+kx-1 = 2(j+ux)+vx, i.e. packed
+  columns ux in {-1,0,1} — 3 taps out of the 6 (ux, vx) slots per phase,
+  so the packed kernel is 50% dense: 18C^2 MACs per original pixel vs 36
+  for the 2x2 packing and 9 for the unpacked conv, at 2C = 128 channels —
+  exactly the MXU width.
+
+Reflection padding retains the subpixel: original column -1 reflects to
++1 = packed (0, vx=1); 2J reflects to 2J-2 = packed (J-1, vx=0).  The
+unused pad subpixels carry the full-reflect values (their kernel weights
+are structural zeros).  Rows are unpacked, so row padding is ordinary
+edge-exclusive reflection.
+
+Element-exact vs the unpacked ops (tests/test_colpacked.py).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _row_taps(x, axis):
+    """even/odd 2x-upsample taps along ``axis`` (align_corners=False, the
+    fixed 2-tap blends of ops.resize.upsample2x)."""
+    n = x.shape[axis]
+    take = lambda a, b: lax.slice_in_dim(x, a, b, axis=axis)
+    prev = jnp.concatenate([take(0, 1), take(0, n - 1)], axis=axis)
+    nxt = jnp.concatenate([take(1, n), take(n - 1, n)], axis=axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    return even.astype(x.dtype), odd.astype(x.dtype)
+
+
+def upsample2x_colpacked(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, 2H, W, 2, C): rows interleaved, columns packed."""
+    b, h, w, c = x.shape
+    re, ro = _row_taps(x, 1)
+    y = jnp.stack([re, ro], axis=2).reshape(b, 2 * h, w, c)
+    ce, co = _row_taps(y, 2)
+    return jnp.stack([ce, co], axis=3)  # (B, 2H, W, vx=2, C)
+
+
+def colpacked_reflect_pad(xp: jnp.ndarray) -> jnp.ndarray:
+    """Pad (B, H, J, 2, C) by one original pixel per side.
+
+    Rows: ordinary reflection.  Columns: subpixel-retaining reflection —
+    left [vx=1] = xp[:, :, 0, 1] (orig col 1), right [vx=0] = xp[:, :, J-1, 0]
+    (orig col 2J-2); the never-read slots get the full-reflect values.
+    """
+    xp = jnp.concatenate(
+        [xp[:, 1:2], xp, xp[:, -2:-1]], axis=1
+    )
+    left = jnp.stack([xp[:, :, 1, 0], xp[:, :, 0, 1]], axis=2)[:, :, None]
+    right = jnp.stack([xp[:, :, -1, 0], xp[:, :, -2, 1]], axis=2)[:, :, None]
+    return jnp.concatenate([left, xp, right], axis=2)
+
+
+def colpack_conv_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (3, 3, 2*Cin, 2*Cout), 50% structural zeros.
+
+    Packed channel layout: vx*C + c (inputs), dx*C + c (outputs).
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 2 * cin, 2 * cout), w.dtype)
+    for dx in range(2):
+        for kx in range(3):
+            tx = dx + kx - 1
+            ux, vx = tx // 2, tx % 2
+            out = out.at[
+                :, ux + 1, vx * cin:(vx + 1) * cin, dx * cout:(dx + 1) * cout
+            ].add(w[:, kx])
+    return out
+
+
+def colpacked_conv_relu(
+    xp: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """Reflection-padded 3x3 conv + ReLU on a column-packed tensor.
+
+    xp: (B, H, J, 2, C); w: (3, 3, C, Cout) original weights;
+    returns (B, H, J, 2, Cout).
+    """
+    bsz, h, j, _, c = xp.shape
+    cout = w.shape[3]
+    xpad = colpacked_reflect_pad(xp).reshape(bsz, h + 2, j + 2, 2 * c)
+    wp = colpack_conv_weights(w)
+    y = lax.conv_general_dilated(
+        xpad, wp.astype(xpad.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xp.dtype)
+    y = y + jnp.tile(b.astype(xp.dtype), 2)
+    return jnp.maximum(y, 0).reshape(bsz, h, j, 2, cout)
+
+
+def col_to_space(xp: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, J, 2, C) -> (B, H, 2J, C)."""
+    bsz, h, j, _, c = xp.shape
+    return xp.reshape(bsz, h, 2 * j, c)
