@@ -40,6 +40,9 @@ class ImageTrainConfig:
     # rematerialise the encoder/AdaFormer/VGG forwards in the backward pass
     # (trades FLOPs for activation memory at large batch/resolution)
     remat: bool = False
+    # mixed precision: forward/backward in this dtype, master params and
+    # Adam state stay float32 ("float32" | "bfloat16")
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -59,6 +62,7 @@ class VideoTrainConfig:
     style_size: Tuple[int, int] = (256, 256)
     content_size: Tuple[int, int] = (256, 512)
     remat: bool = False
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -30,13 +30,18 @@ def conv2d(
         pad = [(padding, padding), (padding, padding)]
     else:
         pad = padding
+    # Only request an upcast output for f32 inputs (no-op): with bf16
+    # operands a f32 preferred_element_type breaks the conv transpose rule
+    # under AD (f32 cotangent x bf16 kernel), and the TPU MXU accumulates
+    # in f32 internally either way — only the output rounding differs.
+    preferred = preferred_dtype if x.dtype == preferred_dtype else None
     y = lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=preferred,
     )
     if b is not None:
         y = y + b

@@ -111,8 +111,21 @@ def _maybe_remat(fn, enable: bool):
     return jax.checkpoint(fn) if enable else fn
 
 
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
 def image_loss_fn(params, vgg_params, content, style, models, cfg):
     """The full image objective (reference train_image.py:103-136)."""
+    if getattr(cfg, "compute_dtype", "float32") == "bfloat16":
+        # mixed precision: bf16 forward/backward, f32 master params/Adam.
+        # Gradient of astype is astype back, so grads land in f32.
+        params = _cast_tree(params, jnp.bfloat16)
+        vgg_params = _cast_tree(vgg_params, jnp.bfloat16)
+        content = content.astype(jnp.bfloat16)
+        style = style.astype(jnp.bfloat16)
     vit_c, vit_s, ada, vgg = (
         models["vit_c"], models["vit_s"], models["adaFormer"], models["vgg19"]
     )

@@ -22,6 +22,13 @@ def video_loss_fn(params, vgg_params, style, c1, c2, flow, mask, models, cfg):
     style: (B, Hs, Ws, 3); c1/c2: (B, H, W, 3); flow: (B, H, W, 2) pixel flow
     into the past (frame2 -> frame1); mask: (B, H, W) validity.
     """
+    if getattr(cfg, "compute_dtype", "float32") == "bfloat16":
+        from .train_image import _cast_tree
+        import jax.numpy as jnp
+
+        params = _cast_tree(params, jnp.bfloat16)
+        vgg_params = _cast_tree(vgg_params, jnp.bfloat16)
+        style, c1, c2 = (x.astype(jnp.bfloat16) for x in (style, c1, c2))
     vit_c, vit_s, ada, vgg = (
         models["vit_c"], models["vit_s"], models["adaFormer"], models["vgg19"]
     )
