@@ -1,0 +1,108 @@
+"""One-process TPU measurement session: stage ablations + packed-decoder
+mode comparison on the streaming inference path.
+
+Everything shares one process/backend so compile caches are reused and the
+axon tunnel is not contended (CLAUDE.md).  Timing protocol: queue N
+dispatches, sync once via a scalar readback.
+
+Run: python scripts/tpu_probe.py [--iters 30]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, iters=30, warm=3):
+    for _ in range(warm):
+        out = fn(*args)
+    _ = float(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _ = float(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    from mhada_tpu.config import ModelConfig
+    from mhada_tpu.models import AdaFormer
+    from mhada_tpu.train.train_image import build_models
+    from mhada_tpu.infer.image import (
+        init_inference_params, make_encode_style_fn, precompute_style_kv,
+    )
+    from mhada_tpu.utils.device import commit_to_device
+
+    dtype = jnp.bfloat16
+    cfg = ModelConfig()
+    models = build_models(cfg)
+    params = init_inference_params(models, jax.random.PRNGKey(0), (512, 512))
+    params = commit_to_device(params)
+
+    rng = np.random.default_rng(0)
+    content = commit_to_device(
+        jnp.asarray(rng.uniform(0, 255, (1, 512, 512, 3)), jnp.float32))
+    style = commit_to_device(
+        jnp.asarray(rng.uniform(0, 255, (1, 512, 512, 3)), jnp.float32))
+
+    fs = make_encode_style_fn(models, dtype)(params, style)
+    kv = precompute_style_kv(models, params, fs)
+    kv = commit_to_device(kv)
+
+    vit_c = models["vit_c"]
+    ada = models["adaFormer"]
+    ada_col = AdaFormer(num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+                        activation=cfg.activation, use_pallas=True,
+                        packed_decoder="col")
+    ada_unpacked = AdaFormer(num_layers=cfg.num_layers,
+                             num_heads=cfg.num_heads,
+                             activation=cfg.activation, use_pallas=True,
+                             packed_decoder=False)
+
+    def full(ada_mod):
+        @jax.jit
+        def fn(params, c, kv):
+            cd = c.astype(dtype)
+            fc = vit_c.apply({"params": params["vit_c"]}, cd)
+            _, cs = ada_mod.apply({"params": params["adaFormer"]}, fc, None,
+                                  style_kv=kv)
+            return jnp.sum(jnp.clip(cs.astype(jnp.float32), 0, 255))
+        return fn
+
+    @jax.jit
+    def vit_only(params, c):
+        fc = vit_c.apply({"params": params["vit_c"]}, c.astype(dtype))
+        return jnp.sum(fc[-1].astype(jnp.float32))
+
+    @jax.jit
+    def vit_plus_mhada(params, c, kv):
+        cd = c.astype(dtype)
+        fc = vit_c.apply({"params": params["vit_c"]}, cd)
+        fcs, _ = ada.apply({"params": params["adaFormer"]}, fc, None,
+                           style_kv=kv)
+        return jnp.sum(fcs.astype(jnp.float32))
+
+    it = args.iters
+    t_vit = timeit(vit_only, params, content, iters=it)
+    print(f"vit_c only:            {t_vit*1e3:7.2f} ms", flush=True)
+    t_vm = timeit(vit_plus_mhada, params, content, kv, iters=it)
+    print(f"vit_c + 6x MHAda:      {t_vm*1e3:7.2f} ms "
+          f"(mhada ~{(t_vm-t_vit)*1e3:.2f})", flush=True)
+    for name, mod in (("2x2", ada), ("col", ada_col),
+                      ("unpacked", ada_unpacked)):
+        t = timeit(full(mod), params, content, kv, iters=it)
+        print(f"full, decoder={name:9s} {t*1e3:7.2f} ms "
+              f"(decoder ~{(t-t_vm)*1e3:.2f})  -> {1.0/t:6.1f} fps",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
