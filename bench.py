@@ -115,25 +115,17 @@ def main():
         cs = base(params, content, style)
         return cs, jnp.sum(cs)
 
-    @jax.jit
-    def stylize_kv(params, content, kv):
-        cs = base_kv(params, content, kv)
-        return cs, jnp.sum(cs)
-
-    # Streaming dispatch processes a window of frames per call (lax.scan,
-    # sequential per-frame B=1 compute — outputs identical to one-by-one):
-    # amortises the tunnel's per-dispatch overhead like a production
+    # Streaming dispatch processes a window of frames per call, batched on
+    # the batch axis (every op is per-frame independent, so outputs are
+    # identical to one-by-one B=1) — the MXU sees 8x the rows and the
+    # tunnel's per-dispatch overhead amortises, like a production
     # transcode pipeline's micro-batching.
     CHUNK = 8
 
     @jax.jit
     def stylize_chunk(params, frames, kv):
-        def body(_, c):
-            cs = base_kv(params, c, kv)
-            return 0.0, jnp.sum(cs)
-
-        _, sums = jax.lax.scan(body, 0.0, frames)
-        return jnp.sum(sums)
+        cs = base_kv(params, frames, kv)
+        return jnp.sum(cs)
 
     from mhada_tpu.utils.device import commit_to_device
 
@@ -171,8 +163,12 @@ def main():
     # variance.
     fs = encode(params, style)
     kv = precompute_style_kv(models, params, fs)
+    kv = commit_to_device([
+        (jnp.tile(k, (CHUNK, 1, 1, 1)), jnp.tile(v, (CHUNK, 1, 1, 1)))
+        for k, v in kv
+    ])
     frames = commit_to_device(
-        jnp.stack(contents[:CHUNK])  # (CHUNK, 1, 512, 512, 3)
+        jnp.concatenate(contents[:CHUNK])  # (CHUNK, 512, 512, 3)
     )
     s = stylize_chunk(params, frames, kv)
     _ = float(s)
@@ -190,10 +186,10 @@ def main():
     # peak (197 TFLOP/s bf16).  Falls back to the judge-measured 0.64 TF if
     # cost analysis is unavailable on this backend.
     try:
-        cost = stylize_kv.lower(params, contents[0], kv).compile().cost_analysis()
+        cost = stylize_chunk.lower(params, frames, kv).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        flops_per_frame = float(cost["flops"])
+        flops_per_frame = float(cost["flops"]) / CHUNK
     except Exception:
         flops_per_frame = 0.64e12
     peak = 197e12

@@ -3,6 +3,7 @@ from .visualize import (
     invert_vit_features,
     invert_mhada_features,
     invert_vgg_features,
+    progressive_vgg_reconstruction,
     normalize_per_channel,
 )
 from .hist import plot_bgr_histograms
@@ -14,6 +15,7 @@ __all__ = [
     "invert_vit_features",
     "invert_mhada_features",
     "invert_vgg_features",
+    "progressive_vgg_reconstruction",
     "normalize_per_channel",
     "plot_bgr_histograms",
 ]

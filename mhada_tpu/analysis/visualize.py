@@ -5,9 +5,11 @@ Optimise an image so its features match a target's — trivially expressed in
 JAX as gradient descent through the jitted model wrt the input.  Reference
 recipes: ViT — Adam lr 0.5, 3000 iters, MSE over the 3 block outputs
 (visual_vit.py:88-120); MHAda — same against the pre-decoder fcs
-(visual_mhada.py:111-137); VGG — progressive reconstruction over relu1..k
-prefixes (visual_cnn.py:69-97, LBFGS in the reference; Adam here — XLA has
-no LBFGS and the result is visual).
+(visual_mhada.py:111-137); VGG — progressive LBFGS reconstruction over
+relu1..k prefixes (visual_cnn.py:69-97; ``optax.lbfgs`` with zoom line
+search here vs torch LBFGS's fixed lr=1 step — same quasi-Newton recipe,
+each 150-step optimisation running as one jitted lax.scan; an Adam
+fallback remains via ``invert_vgg_features``).
 """
 
 from typing import Callable
@@ -98,6 +100,68 @@ def invert_mhada_features(
     return _invert(lambda im: [fcs_fn(im)], target, content.shape, lr, iters)
 
 
+def _invert_lbfgs(feature_fn, target_feats, shape, iters, seed=0):
+    """LBFGS feature inversion (reference visual_cnn.py:77-91 semantics:
+    noise init, MSE sum over matched layers, 150 quasi-Newton steps)."""
+
+    def loss_fn(img):
+        feats = feature_fn(img)
+        loss = 0.0
+        for f, t in zip(feats, target_feats):
+            loss += jnp.mean(jnp.square(f - t))
+        return loss
+
+    opt = optax.lbfgs(learning_rate=1.0)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+    img0 = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+    @jax.jit
+    def run(img0):
+        def step(carry, _):
+            img, st = carry
+            value, grad = value_and_grad(img, state=st)
+            updates, st = opt.update(grad, st, img, value=value, grad=grad,
+                                     value_fn=loss_fn)
+            return (optax.apply_updates(img, updates), st), value
+
+        (img, _), losses = jax.lax.scan(
+            step, (img0, opt.init(img0)), None, length=iters
+        )
+        return img, losses
+
+    img, losses = run(img0)
+    return np.asarray(img), np.asarray(losses)
+
+
+def progressive_vgg_reconstruction(
+    vgg_apply, target_img01, iters: int = 150,
+):
+    """Reference visual_cnn.py:69-97: for k = 1..5 reconstruct a fresh
+    noise image so its relu1_1..relu{k}_1 features match the target's.
+
+    ``vgg_apply`` maps a [0, 1]-domain image to the 5-tap feature dict
+    (the reference's local VGG19 normalises WITHOUT /255,
+    visual_cnn.py:9-15).  target_img01: (1, H, W, 3) in [0, 1].
+    Yields (name, image01) pairs, image clamped to [0, 1]
+    (reference deprocess, visual_cnn.py:53-58).
+    """
+    all_layers = [f"relu{i}_1" for i in range(1, 6)]
+    target = {k: jax.lax.stop_gradient(v)
+              for k, v in vgg_apply(target_img01).items()}
+    for k in range(1, len(all_layers) + 1):
+        layers = all_layers[:k]
+
+        def feats(img, layers=layers):
+            d = vgg_apply(img)
+            return [d[n] for n in layers]
+
+        img, losses = _invert_lbfgs(
+            feats, [target[n] for n in layers], target_img01.shape, iters,
+            seed=k,
+        )
+        yield "_".join(layers), np.clip(img, 0.0, 1.0), losses
+
+
 def invert_vgg_features(
     vgg_apply: Callable, target_img: jnp.ndarray, last_layer: int,
     lr: float = 1.0, iters: int = 1000,
@@ -127,7 +191,8 @@ def main(argv=None):
     from ..utils.image_io import load_image, save_image
 
     ap = argparse.ArgumentParser(description=main.__doc__)
-    ap.add_argument("--mode", required=True, choices=["vit", "mhada", "vgg"])
+    ap.add_argument("--mode", required=True,
+                    choices=["vit", "mhada", "vgg", "vgg_progressive"])
     ap.add_argument("--target", required=True, help="target image")
     ap.add_argument("--style", help="style image (mhada mode)")
     ap.add_argument("--out", default="./results/inversion.png")
@@ -183,6 +248,23 @@ def main(argv=None):
         from ..models import VGG19Features
 
         model = VGG19Features()
+        if args.mode == "vgg_progressive":
+            # reference visual_cnn.py recipe: 224^2, [0,1] domain (its local
+            # VGG19 normalises without /255 — feeding x*255 to our module
+            # cancels its internal /255), LBFGS 150 steps per prefix.
+            import os
+
+            apply01 = lambda x: model.apply({"params": vgg_params}, x * 255.0)
+            t01 = target / 255.0
+            out_dir = os.path.dirname(args.out) or "./results"
+            os.makedirs(out_dir, exist_ok=True)
+            for name, img01, losses in progressive_vgg_reconstruction(
+                apply01, t01, iters=min(args.iters, 150)
+            ):
+                path = os.path.join(out_dir, f"reconstructed_{name}.jpg")
+                save_image(path, (img01[0] * 255.0).astype(np.uint8))
+                print(f"saved {path} (final loss {losses[-1]:.4f})")
+            return
         apply = lambda x: model.apply({"params": vgg_params}, x)
         img = invert_vgg_features(apply, target, args.last_layer,
                                   args.lr, args.iters)

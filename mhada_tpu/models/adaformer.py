@@ -41,6 +41,9 @@ class AdaAttnMultiHead(nn.Module):
     num_heads: int = 8
     activation: str = "softmax"
     use_pallas: bool = False
+    # fuse the per-head IN + Q projection into the Pallas kernel prologue
+    # (inference-only: the fused op has no VJP; see ops/mhada_pallas.py)
+    fuse_prologue: bool = False
 
     @nn.compact
     def __call__(self, fc, fs, fcs, style_kv=None):
@@ -61,6 +64,28 @@ class AdaAttnMultiHead(nn.Module):
         fk, fb = headed_proj("f")
         gk, gb = headed_proj("g")
         hk, hb = headed_proj("h")
+
+        out_kernel = self.param("out_kernel", torch_uniform_init(C), (C, C))
+        out_bias = self.param("out_bias", torch_uniform_init(C), (C,))
+        dt = fc.dtype
+
+        if (self.fuse_prologue and self.use_pallas and style_kv is not None
+                and self.activation == "softmax"):
+            from ..ops.mhada_pallas import mhada_fused_prologue
+
+            def in_stats(tok):
+                tf = tok.astype(jnp.float32)
+                mean = jnp.mean(tf, axis=1)
+                var = jnp.mean(jnp.square(tf - mean[:, None]), axis=1)
+                return mean, jnp.reciprocal(jnp.sqrt(var + 1e-5))
+
+            mc, rc = in_stats(fc)
+            ms, rs = in_stats(fcs)
+            stats = jnp.stack([mc, rc, ms, rs], axis=1)  # (B, 4, C)
+            k, v = style_kv
+            out = mhada_fused_prologue(
+                fc, fcs, stats, fk.astype(dt), fb.astype(dt), k, v)
+            return out @ out_kernel.astype(dt) + out_bias.astype(dt)
 
         qn = instance_norm_tokens(fc)
         fcs_n = instance_norm_tokens(fcs)
@@ -94,9 +119,6 @@ class AdaAttnMultiHead(nn.Module):
             use_pallas=self.use_pallas,
         )  # (B, H, N, d)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-
-        out_kernel = self.param("out_kernel", torch_uniform_init(C), (C, C))
-        out_bias = self.param("out_bias", torch_uniform_init(C), (C,))
         return out @ out_kernel.astype(dt) + out_bias.astype(dt)
 
 
@@ -141,6 +163,7 @@ class AdaFormer(nn.Module):
     activation: str = "softmax"
     use_pallas: bool = False
     packed_decoder: bool | str = False  # False | True/"2x2" | "col"
+    fuse_prologue: bool = False  # see AdaAttnMultiHead.fuse_prologue
 
     @nn.compact
     def __call__(
@@ -169,12 +192,12 @@ class AdaFormer(nn.Module):
         for i in range(self.num_layers):
             fcs = AdaAttnMultiHead(
                 self.num_heads, self.activation, self.use_pallas,
-                name=f"ada{2 * i}",
+                self.fuse_prologue, name=f"ada{2 * i}",
             )(fc_tok[i], fs_tok[i], fcs,
               style_kv[2 * i] if style_kv else None)
             fcs = AdaAttnMultiHead(
                 self.num_heads, self.activation, self.use_pallas,
-                name=f"ada{2 * i + 1}",
+                self.fuse_prologue, name=f"ada{2 * i + 1}",
             )(fcs, fs_tok[i], fcs,
               style_kv[2 * i + 1] if style_kv else None)
 

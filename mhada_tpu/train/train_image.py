@@ -64,7 +64,10 @@ def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
         "adaFormer": AdaFormer(
             num_layers=m.num_layers, num_heads=m.num_heads,
             activation=m.activation, use_pallas=use_pallas,
-            packed_decoder=use_pallas,
+            packed_decoder="col" if use_pallas else False,
+            # fused IN+Q-projection prologue is forward-only (no VJP) —
+            # inference builds only; it engages on the KV-cached path.
+            fuse_prologue=use_pallas and not for_training,
         ),
         "vgg19": VGG19Features(),
     }

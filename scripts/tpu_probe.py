@@ -9,8 +9,11 @@ Run: python scripts/tpu_probe.py [--iters 30]
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -66,6 +69,9 @@ def main():
                              num_heads=cfg.num_heads,
                              activation=cfg.activation, use_pallas=True,
                              packed_decoder=False)
+    ada_best = AdaFormer(num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+                         activation=cfg.activation, use_pallas=True,
+                         packed_decoder="col", fuse_prologue=True)
 
     def full(ada_mod):
         @jax.jit
@@ -97,11 +103,27 @@ def main():
     print(f"vit_c + 6x MHAda:      {t_vm*1e3:7.2f} ms "
           f"(mhada ~{(t_vm-t_vit)*1e3:.2f})", flush=True)
     for name, mod in (("2x2", ada), ("col", ada_col),
-                      ("unpacked", ada_unpacked)):
+                      ("unpacked", ada_unpacked),
+                      ("col+fused", ada_best)):
         t = timeit(full(mod), params, content, kv, iters=it)
         print(f"full, decoder={name:9s} {t*1e3:7.2f} ms "
               f"(decoder ~{(t-t_vm)*1e3:.2f})  -> {1.0/t:6.1f} fps",
               flush=True)
+
+    # batched transcode: 8 frames per dispatch, one shared style — outputs
+    # identical to per-frame B=1 (every op is batch-independent), but the
+    # MXU sees 8x the rows and fixed overheads amortise.
+    B = 8
+    frames = commit_to_device(
+        jnp.asarray(rng.uniform(0, 255, (B, 512, 512, 3)), jnp.float32))
+    kv8 = commit_to_device([
+        (jnp.tile(k, (B, 1, 1, 1)), jnp.tile(v, (B, 1, 1, 1)))
+        for k, v in kv
+    ])
+    for name, mod in (("col", ada_col), ("col+fused", ada_best)):
+        t = timeit(full(mod), params, frames, kv8, iters=max(4, it // 4))
+        print(f"batched B=8 {name:9s} {t*1e3:7.2f} ms/call -> "
+              f"{t/B*1e3:5.2f} ms/frame, {B/t:6.1f} fps", flush=True)
 
 
 if __name__ == "__main__":

