@@ -28,8 +28,19 @@ def kernel_parity_gate():
     """On-TPU fused-vs-naive parity at the production shape (VERDICT r1 #2).
 
     (B, H, N, M, D) = (1, 8, 4096, 4096, 64) — the 512^2 inference shape —
-    Mosaic-compiled on the real chip, f32 and bf16, plus the 1024^2-scale
+    Mosaic-compiled on the real chip vs the naive einsum path run at
+    ``highest`` matmul precision (true-f32 reference), plus the 1024^2-scale
     streaming kernel.  Asserts error bounds and prints them to stderr.
+
+    Two input regimes (the softmax here is UNSCALED, reference
+    adaDecoder.py:11-17, so logit spread is input-scale-sensitive):
+
+    - scale 0.35 -> per-row logit std ~1: the realistic regime (Q/K come
+      from 1x1 convs of instance-normalised features), tight max bound.
+    - scale 1.0 -> logit std ~8: saturated, near-argmax softmax, where
+      single-ulp MXU rounding differences flip which key dominates and the
+      elementwise max error is meaningless (measured ~0.5 between ANY two
+      rounding schemes); gate on mean error only.
     """
     from mhada_tpu.ops.mhada import mhada_attention
     from mhada_tpu.ops.mhada_pallas import mhada_attention_pallas
@@ -38,29 +49,56 @@ def kernel_parity_gate():
     rng = np.random.default_rng(42)
     b, h, n, m, d = 1, 8, 4096, 4096, 64
 
-    def make(dtype):
+    def make(dtype, scale):
+        qs = rng.standard_normal((b, h, n, d)) * scale
+        ks = rng.standard_normal((b, h, m, d)) * scale
+        vs = rng.standard_normal((b, h, m, d))
+        fs = rng.standard_normal((b, h, n, d))
         return tuple(
-            commit_to_device(jnp.asarray(
-                rng.standard_normal((b, h, nn, d)), dtype))
-            for nn in (n, m, m, n)
+            commit_to_device(jnp.asarray(x, dtype))
+            for x in (qs, ks, vs, fs)
         )
 
-    @jax.jit
-    def err_fused_vs_naive(q, k, v, f):
-        ref = mhada_attention(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            v.astype(jnp.float32), f.astype(jnp.float32), "softmax")
-        got = mhada_attention_pallas(q, k, v, f).astype(jnp.float32)
-        e = jnp.abs(got - ref)
-        return jnp.max(e), jnp.mean(e)
+    def make_err_fn(highest: bool):
+        # ``highest`` matmul precision makes the naive einsums a true-f32
+        # reference.  Only for f32 inputs: with bf16 inputs this stack's
+        # XLA/Mosaic fusion pass folds the bf16->f32 convert into the dot
+        # and emits a bf16-operand matmul with fp32 contract precision,
+        # which Mosaic rejects ("Bad lhs type") — so the bf16 case compares
+        # against the default-precision naive path (both bf16-rounded).
+        @jax.jit
+        def err_fused_vs_naive(q, k, v, f):
+            qf, kf, vf, ff = (x.astype(jnp.float32) for x in (q, k, v, f))
+            if highest:
+                with jax.default_matmul_precision("highest"):
+                    ref = mhada_attention(qf, kf, vf, ff, "softmax")
+            else:
+                ref = mhada_attention(qf, kf, vf, ff, "softmax")
+            got = mhada_attention_pallas(q, k, v, f).astype(jnp.float32)
+            e = jnp.abs(got - ref)
+            return jnp.max(e), jnp.mean(e)
 
-    for dtype, bound in ((jnp.float32, 5e-4), (jnp.bfloat16, 0.5)):
-        q, k, v, f = make(dtype)
-        mx, mean = (float(x) for x in err_fused_vs_naive(q, k, v, f))
-        print(f"kernel parity {dtype.__name__} @ (1,8,4096,4096,64): "
-              f"max={mx:.2e} mean={mean:.2e} (bound {bound})",
+        return err_fused_vs_naive
+
+    cases = (
+        (jnp.float32, 0.35, 5e-3, None),
+        (jnp.float32, 1.0, None, 2e-2),
+        (jnp.bfloat16, 0.35, 1e-1, None),
+    )
+    for dtype, scale, max_bound, mean_bound in cases:
+        q, k, v, f = make(dtype, scale)
+        err_fn = make_err_fn(highest=dtype == jnp.float32)
+        mx, mean = (float(x) for x in err_fn(q, k, v, f))
+        print(f"kernel parity {dtype.__name__} scale={scale} @ "
+              f"(1,8,4096,4096,64): max={mx:.2e} mean={mean:.2e} "
+              f"(bounds max<{max_bound} mean<{mean_bound})",
               file=sys.stderr)
-        assert mx < bound, f"{dtype.__name__} kernel parity FAILED: {mx}"
+        if max_bound is not None:
+            assert mx < max_bound, \
+                f"{dtype.__name__} kernel parity FAILED: max {mx}"
+        if mean_bound is not None:
+            assert mean < mean_bound, \
+                f"{dtype.__name__} kernel parity FAILED: mean {mean}"
 
     # 1024^2-scale streaming kernel (M=16384 > single-pass VMEM ceiling):
     # correctness vs a naive row-chunked oracle is pytest-covered; here we
@@ -163,6 +201,33 @@ def main():
     # variance.
     fs = encode(params, style)
     kv = precompute_style_kv(models, params, fs)
+
+    # End-to-end on-chip parity of the fast path: the KV-cached +
+    # fused-prologue graph must match the plain graph.  Compared on the
+    # pre-decoder fcs features (O(1) magnitudes regardless of weights —
+    # the smoke decoder attenuates pixels, which would make a pixel-domain
+    # bound vacuous).  Gate is RELATIVE MEAN error: with random smoke
+    # weights the unscaled softmax runs saturated (logit std ~3), where
+    # rounding-order differences between any two correct implementations
+    # amplify into O(1) max errors across the 6 chained blocks — measured
+    # pallas-plain vs naive-XLA shows the same spread (mean ~0.5% of
+    # |fcs|) as plain vs fused-prologue.
+    @jax.jit
+    def kv_path_err(params, content, style, kv):
+        pa = {"params": params["adaFormer"]}
+        fc = models["vit_c"].apply({"params": params["vit_c"]}, content)
+        fs_ = models["vit_s"].apply({"params": params["vit_s"]}, style)
+        fcs_plain, _ = models["adaFormer"].apply(pa, fc, fs_)
+        fcs_kv, _ = models["adaFormer"].apply(pa, fc, None, kv)
+        e = jnp.abs(fcs_plain - fcs_kv)
+        return jnp.max(e), jnp.mean(e) / jnp.mean(jnp.abs(fcs_plain))
+
+    kv_max, kv_rel = (float(x) for x in
+                      kv_path_err(params, contents[0], style, kv))
+    print(f"KV-cached + fused-prologue path vs plain path (f32 fcs): "
+          f"max={kv_max:.2e} rel_mean={kv_rel:.2e}", file=sys.stderr)
+    assert kv_rel < 2e-2, f"fast-path parity FAILED: rel_mean {kv_rel}"
+
     kv = commit_to_device([
         (jnp.tile(k, (CHUNK, 1, 1, 1)), jnp.tile(v, (CHUNK, 1, 1, 1)))
         for k, v in kv
