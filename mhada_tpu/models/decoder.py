@@ -115,15 +115,25 @@ class ConvReluUpPacked(nn.Module):
     def __call__(self, x):
         from ..ops.pad_conv import conv2d
         from ..ops.packed import upsample2x_packed
-        from ..ops.colpacked import upsample2x_colpacked
+        from ..ops.colpacked import (
+            col_to_space,
+            colpacked_conv_relu,
+            space_to_col,
+            upsample2x_colpacked,
+        )
 
         k, b = _ConvParams(self.features, self.kernel_size, name="conv")(
             x.shape[-1]
         )
+        if self.mode == "col":
+            # Run the conv itself column-packed: C_out=64 at 256^2 runs the
+            # XLA conv at ~6.6 TF/s (half-empty output lanes); packed to
+            # 128 output channels it is MXU-shaped (scripts/decoder_probe).
+            xp = colpacked_conv_relu(
+                space_to_col(x), k.astype(x.dtype), b.astype(x.dtype))
+            return upsample2x_colpacked(col_to_space(xp))
         x = reflect_pad2d(x, self.kernel_size // 2)
         x = nn.relu(conv2d(x, k.astype(x.dtype), b.astype(x.dtype)))
-        if self.mode == "col":
-            return upsample2x_colpacked(x)
         return upsample2x_packed(x)
 
 

@@ -125,6 +125,24 @@ def main():
         print(f"batched B=8 {name:9s} {t*1e3:7.2f} ms/call -> "
               f"{t/B*1e3:5.2f} ms/frame, {B/t:6.1f} fps", flush=True)
 
+    # batched in-graph stage ablations (per-frame at the headline protocol)
+    it8 = max(4, it // 4)
+    t_vit8 = timeit(vit_only, params, frames, iters=it8)
+    print(f"batched B=8 vit_c only:       {t_vit8/B*1e3:5.2f} ms/frame",
+          flush=True)
+
+    @jax.jit
+    def vit_plus_mhada8(params, c, kv):
+        cd = c.astype(dtype)
+        fc = vit_c.apply({"params": params["vit_c"]}, cd)
+        fcs, _ = ada_best.apply({"params": params["adaFormer"]}, fc, None,
+                                style_kv=kv)
+        return jnp.sum(fcs.astype(jnp.float32))
+
+    t_vm8 = timeit(vit_plus_mhada8, params, frames, kv8, iters=it8)
+    print(f"batched B=8 vit + 6x MHAda:   {t_vm8/B*1e3:5.2f} ms/frame "
+          f"(mhada ~{(t_vm8-t_vit8)/B*1e3:.2f})", flush=True)
+
 
 if __name__ == "__main__":
     main()
