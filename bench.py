@@ -229,7 +229,7 @@ def main():
     assert kv_rel < 2e-2, f"fast-path parity FAILED: rel_mean {kv_rel}"
 
     kv = commit_to_device([
-        (jnp.tile(k, (CHUNK, 1, 1, 1)), jnp.tile(v, (CHUNK, 1, 1, 1)))
+        (jnp.tile(k, (CHUNK, 1, 1)), jnp.tile(v, (CHUNK, 1, 1)))
         for k, v in kv
     ])
     frames = commit_to_device(

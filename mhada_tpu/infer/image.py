@@ -110,7 +110,9 @@ def precompute_style_kv(models: Dict, params: Dict, fs):
     Per block j (layer i = j // 2): K = g_j(IN(fs_tok_i)), V = h_j(fs_tok_i)
     — exactly AdaAttnMultiHead's key/value path (models/adaformer.py), which
     depends only on the style features.  Returns a list of 2*num_layers
-    (k, v) tuples shaped (B, H, M, d) for ``AdaFormer(..., style_kv=...)``.
+    (k, v) tuples shaped TOKEN-MAJOR (B, M, C) (channel slot = head*d + e,
+    the layout the fused token-major kernel consumes directly) for
+    ``AdaFormer(..., style_kv=...)``.
     """
     from ..ops.instance_norm import instance_norm_tokens
 
@@ -136,7 +138,7 @@ def precompute_style_kv(models: Dict, params: Dict, fs):
                     + p["g_bias"].astype(dt)
                 v = jnp.einsum("bmhd,hde->bmhe", raw, p["h_kernel"].astype(dt)) \
                     + p["h_bias"].astype(dt)
-                kv.append((k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)))
+                kv.append((k.reshape(b, m, c), v.reshape(b, m, c)))
         return kv
 
     return fn(pa, fs)

@@ -47,9 +47,9 @@ class AdaAttnMultiHead(nn.Module):
 
     @nn.compact
     def __call__(self, fc, fs, fcs, style_kv=None):
-        """``style_kv``: optional precomputed ((B,H,M,d), (B,H,M,d)) keys/
-        values — they depend only on the style, so streaming callers compute
-        them once per style (see infer.image.precompute_style_kv)."""
+        """``style_kv``: optional precomputed ((B,M,C), (B,M,C)) token-major
+        keys/values — they depend only on the style, so streaming callers
+        compute them once per style (see infer.image.precompute_style_kv)."""
         C = fc.shape[-1]
         H = self.num_heads
         d = C // H
@@ -108,7 +108,10 @@ class AdaAttnMultiHead(nn.Module):
             k = k.transpose(0, 2, 1, 3)
             v = v.transpose(0, 2, 1, 3)
         else:
-            k, v = style_kv
+            k, v = style_kv  # token-major (B, M, C)
+            M = k.shape[1]
+            k = k.reshape(B, M, H, d).transpose(0, 2, 1, 3)
+            v = v.reshape(B, M, H, d).transpose(0, 2, 1, 3)
 
         out = mhada_attention(
             q.transpose(0, 2, 1, 3),

@@ -148,9 +148,11 @@ class PackedConvReLU(nn.Module):
         from ..ops.packed import packed_conv_relu
         from ..ops.colpacked import colpacked_conv_relu
 
-        k, b = _ConvParams(self.features, name="conv")(xp.shape[-1])
         if self.mode == "col":
+            # col-packed tensors are (B, H, J, 2C)
+            k, b = _ConvParams(self.features, name="conv")(xp.shape[-1] // 2)
             return colpacked_conv_relu(xp, k, b)
+        k, b = _ConvParams(self.features, name="conv")(xp.shape[-1])
         return packed_conv_relu(xp, k, b)
 
 

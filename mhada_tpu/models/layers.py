@@ -113,6 +113,9 @@ class MultiHeadSelfAttention(nn.Module):
 
     num_heads: int
     use_pallas: bool = False
+    # token-major kernel (2 heads per 128-lane program, zero head-split
+    # transposes) — forward-only, inference builds (ops/attention_pallas.py)
+    tokmaj: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -123,6 +126,13 @@ class MultiHeadSelfAttention(nn.Module):
         )
         qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * E,))
         qkv = x @ qkv_kernel.astype(x.dtype) + qkv_bias.astype(x.dtype)
+        if (self.tokmaj and self.use_pallas and L >= 512
+                and hd == 64 and E % 128 == 0):
+            from ..ops.attention_pallas import attention_pallas_tm
+
+            o = attention_pallas_tm(
+                qkv, scale=1.0 / math.sqrt(hd), num_heads=self.num_heads)
+            return TorchLinear(E, zero_bias=True, name="out_proj")(o)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)

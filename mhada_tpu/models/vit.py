@@ -109,6 +109,7 @@ class EncoderBlock(nn.Module):
     mlp_dim: int
     attn_mode: str = "spatial"
     use_pallas: bool = False
+    tokmaj: bool = False  # see MultiHeadSelfAttention.tokmaj
 
     @nn.compact
     def __call__(self, x):
@@ -117,6 +118,7 @@ class EncoderBlock(nn.Module):
         attn = MultiHeadSelfAttention(
             self.num_heads,
             use_pallas=self.use_pallas and self.attn_mode == "spatial",
+            tokmaj=self.tokmaj,
             name="attention",
         )
         if self.attn_mode == "spatial":
@@ -149,6 +151,7 @@ class VisionTransformer(nn.Module):
     pos_embedding: bool = True
     attn_mode: str = "spatial"
     use_pallas: bool = False
+    tokmaj: bool = False  # see MultiHeadSelfAttention.tokmaj
 
     @nn.compact
     def __call__(self, x):
@@ -166,6 +169,7 @@ class VisionTransformer(nn.Module):
                 self.mlp_dim,
                 attn_mode=self.attn_mode,
                 use_pallas=self.use_pallas,
+                tokmaj=self.tokmaj,
                 name=f"block{i}",
             )(tokens)
             feats.append(tokens.reshape(-1, h, w, self.hidden_dim))

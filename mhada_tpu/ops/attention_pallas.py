@@ -81,6 +81,94 @@ def _attention_pallas_call(q, k, v, scale: float, block_n: int = 256):
     return out[:, :n].reshape(b, h, n, d)
 
 
+# -------------------------------------------- token-major forward kernel
+
+
+def _tm_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int,
+               m_actual: int):
+    """Two heads per program on 128-wide channel slices of the packed qkv.
+
+    q_ref/k_ref/v_ref: (1, TN|M, 2d) slices of the SAME (B, N, 3C) qkv
+    array (three BlockSpecs with different channel-block index maps) —
+    no head-split transposes exist anywhere, in XLA or HBM.
+    """
+    f32 = jnp.float32
+    q2 = q_ref[0]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    m_pad = k2.shape[0]
+    for s in (0, d):
+        logits = jax.lax.dot_general(
+            q2[:, s:s + d], k2[:, s:s + d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * scale
+        if m_actual != m_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < m_actual, logits, -jnp.inf)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(v2.dtype), v2[:, s:s + d],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) / denom
+        o_ref[0, :, s:s + d] = out.astype(o_ref.dtype)
+
+
+def attention_pallas_tm(qkv, scale: float, num_heads: int,
+                        block_n: int = 256):
+    """Token-major fused self-attention: (B, N, 3C) packed qkv -> (B, N, C).
+
+    Heads are CONTIGUOUS 64-channel slices of each of the q/k/v thirds
+    (torch MultiheadAttention packing); programs take two heads (128
+    lanes), so every BlockSpec is 128-aligned and the XLA-side
+    split/transpose/merge of the head-major path disappears entirely.
+    Single-pass (keys VMEM-resident) — inference path for M <= 4096;
+    forward-only (the training path keeps the head-major flash VJP).
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    assert d == 64 and c % 128 == 0, (d, c)
+    pairs = c // 128
+    if qkv.dtype.itemsize > 2:
+        # f32 K/V tiles double: halve the query tile to stay under the
+        # 16 MB VMEM scoped limit (logits are f32 either way)
+        block_n = min(block_n, 128)
+    tn = min(block_n, max(128, 1 << (n - 1).bit_length()))
+    n_pad = -(-n // tn) * tn
+    qkv = _pad_axis(qkv, 1, n_pad)
+
+    grid = (b, pairs, n_pad // tn)
+    qspec = pl.BlockSpec((1, tn, 128), lambda i, p, j: (i, j, p),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, n_pad, 128),
+                         lambda i, p, j: (i, 0, pairs + p),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, n_pad, 128),
+                         lambda i, p, j: (i, 0, 2 * pairs + p),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tm_kernel, scale=scale, d=d, m_actual=n),
+        grid=grid,
+        in_specs=[qspec, kspec, vspec],
+        out_specs=pl.BlockSpec((1, tn, 128), lambda i, p, j: (i, j, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * c // 64 * n_pad * n_pad * 64 * 2,
+            bytes_accessed=2 * b * n_pad * (c3 + c),
+            transcendentals=b * (c // 64) * n_pad * n_pad,
+        ),
+    )(qkv, qkv, qkv)
+    return out[:, :n]
+
+
 # ------------------------------------------------- streaming forward kernel
 
 

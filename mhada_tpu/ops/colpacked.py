@@ -5,7 +5,8 @@ Round-1 packing (ops/packed.py) packs 2x2 subpixels: full MXU width
 zeros — 4x redundant FLOPs.  Packing the *width axis only* halves the
 redundancy at the same utilisation sweet spot:
 
-- packed tensor (B, H, J, 2, C) with J = W/2 and vx the column subpixel;
+- packed tensor (B, H, J, 2C) with J = W/2 and channel slot vx*C + c for
+  column subpixel vx in {0, 1};
 - a 3x3 conv on the original domain is exactly a 3x3 conv on the packed
   domain with a (3, 3, 2C, 2C) kernel: output column phase dx at packed
   column (j) reads original columns 2j+dx+kx-1 = 2(j+ux)+vx, i.e. packed
@@ -13,6 +14,11 @@ redundancy at the same utilisation sweet spot:
   so the packed kernel is 50% dense: 18C^2 MACs per original pixel vs 36
   for the 2x2 packing and 9 for the unpacked conv, at 2C = 128 channels —
   exactly the MXU width.
+
+Layout note: the packed form is strictly rank-4 (B, H, J, 2C), never
+(B, H, J, 2, C).  TPU arrays are vreg-tiled (8, 128) over the last TWO
+dims, so a 5D form would tile (2, C) — 4x sublane padding on every packed
+tensor and op (this cost ~1.3 ms/frame in round 2 before the refactor).
 
 Reflection padding retains the subpixel: original column -1 reflects to
 +1 = packed (0, vx=1); 2J reflects to 2J-2 = packed (J-1, vx=0).  The
@@ -40,26 +46,28 @@ def _row_taps(x, axis):
 
 
 def upsample2x_colpacked(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, 2H, W, 2, C): rows interleaved, columns packed."""
+    """(B, H, W, C) -> (B, 2H, W, 2C): rows interleaved, columns packed."""
     b, h, w, c = x.shape
     re, ro = _row_taps(x, 1)
     y = jnp.stack([re, ro], axis=2).reshape(b, 2 * h, w, c)
     ce, co = _row_taps(y, 2)
-    return jnp.stack([ce, co], axis=3)  # (B, 2H, W, vx=2, C)
+    return jnp.concatenate([ce, co], axis=-1)  # channel slot = vx*C + c
 
 
 def colpacked_reflect_pad(xp: jnp.ndarray) -> jnp.ndarray:
-    """Pad (B, H, J, 2, C) by one original pixel per side.
+    """Pad (B, H, J, 2C) by one original pixel per side.
 
     Rows: ordinary reflection.  Columns: subpixel-retaining reflection —
-    left [vx=1] = xp[:, :, 0, 1] (orig col 1), right [vx=0] = xp[:, :, J-1, 0]
-    (orig col 2J-2); the never-read slots get the full-reflect values.
+    left [vx=1] = packed (0, vx=1) (orig col 1), right [vx=0] = packed
+    (J-1, vx=0) (orig col 2J-2); the never-read slots get the full-reflect
+    values.
     """
-    xp = jnp.concatenate(
-        [xp[:, 1:2], xp, xp[:, -2:-1]], axis=1
-    )
-    left = jnp.stack([xp[:, :, 1, 0], xp[:, :, 0, 1]], axis=2)[:, :, None]
-    right = jnp.stack([xp[:, :, -1, 0], xp[:, :, -2, 1]], axis=2)[:, :, None]
+    c = xp.shape[-1] // 2
+    xp = jnp.concatenate([xp[:, 1:2], xp, xp[:, -2:-1]], axis=1)
+    left = jnp.concatenate(
+        [xp[:, :, 1:2, :c], xp[:, :, 0:1, c:]], axis=-1)
+    right = jnp.concatenate(
+        [xp[:, :, -1:, :c], xp[:, :, -2:-1, c:]], axis=-1)
     return jnp.concatenate([left, xp, right], axis=2)
 
 
@@ -85,34 +93,32 @@ def colpacked_conv_relu(
 ) -> jnp.ndarray:
     """Reflection-padded 3x3 conv + ReLU on a column-packed tensor.
 
-    xp: (B, H, J, 2, C); w: (3, 3, C, Cout) original weights;
-    returns (B, H, J, 2, Cout).
+    xp: (B, H, J, 2C); w: (3, 3, C, Cout) original weights;
+    returns (B, H, J, 2*Cout).
     """
-    bsz, h, j, _, c = xp.shape
-    cout = w.shape[3]
-    xpad = colpacked_reflect_pad(xp).reshape(bsz, h + 2, j + 2, 2 * c)
+    xpad = colpacked_reflect_pad(xp)
     wp = colpack_conv_weights(w)
     y = lax.conv_general_dilated(
-        xpad, wp.astype(xpad.dtype), (1, 1), [(0, 0), (0, 0)],
+        xpad, wp.astype(xp.dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ).astype(xp.dtype)
     y = y + jnp.tile(b.astype(xp.dtype), 2)
-    return jnp.maximum(y, 0).reshape(bsz, h, j, 2, cout)
+    return jnp.maximum(y, 0)
 
 
 def col_to_space(xp: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, J, 2, C) -> (B, H, 2J, C)."""
-    bsz, h, j, _, c = xp.shape
-    return xp.reshape(bsz, h, 2 * j, c)
+    """(B, H, J, 2C) -> (B, H, 2J, C)."""
+    bsz, h, j, c2 = xp.shape
+    return xp.reshape(bsz, h, 2 * j, c2 // 2)
 
 
 def space_to_col(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H, W/2, 2, C) column packing (free reshape).
+    """(B, H, W, C) -> (B, H, W/2, 2C) column packing (free reshape).
 
     Lets convs with C_out < 128 run at 2*C_out output lanes: XLA's conv at
     e.g. 256^2 128->64 measures ~6.6 TF/s while the identical math packed
     (256 -> 128 channels) runs at MXU-friendly width (scripts/decoder_probe).
     """
     bsz, h, w, c = x.shape
-    return x.reshape(bsz, h, w // 2, 2, c)
+    return x.reshape(bsz, h, w // 2, 2 * c)

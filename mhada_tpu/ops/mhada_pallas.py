@@ -140,122 +140,128 @@ def _mhada_pallas_fwd_impl(q, k, v, fcs_n, block_n: int = 256):
 
 
 def _fused_kernel(fc_ref, fcs_ref, st_ref, wf_ref, fb_ref, k_ref, v_ref,
-                  o_ref, *, m_actual: int):
-    """Single-pass kernel with the per-head prologue fused in:
+                  o_ref, *, d: int, m_actual: int):
+    """Token-major single-pass kernel, two heads per 128-lane program, with
+    the per-head prologue fused in:
 
         q     = ((fc - mean_fc) * rstd_fc) @ Wf + bf
         fcs_n = (fcs - mean_fcs) * rstd_fcs
 
     computed in VMEM from raw token slices — the normalised/projected
-    tensors never exist in HBM, and inputs/outputs stay token-major
-    (B, N, C), so the (N, H) transposes of the unfused path disappear.
+    tensors never exist in HBM, and no head-split transposes exist
+    anywhere (inputs, K/V cache, and outputs are all (B, N|M, C) slices).
     """
-    st = st_ref[0]  # (4, D) f32: mean_fc, rstd_fc, mean_fcs, rstd_fcs
     f32 = jnp.float32
-    qn = (fc_ref[0].astype(f32) - st[0:1]) * st[1:2]
-    q = jax.lax.dot_general(
-        qn.astype(k_ref.dtype), wf_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ) + fb_ref[0]  # (TN, D) f32
-    fcs_n = (fcs_ref[0].astype(f32) - st[2:3]) * st[3:4]
+    st = st_ref[0]      # (4, 2d) f32: mean_fc, rstd_fc, mean_fcs, rstd_fcs
+    fc2 = fc_ref[0]     # (TN, 2d)
+    fs2 = fcs_ref[0]
+    wf = wf_ref[0]      # (d, 2d): [head_a | head_b] output columns
+    fb = fb_ref[0]      # (1, 2d)
+    k2 = k_ref[0]       # (M, 2d)
+    v2 = v_ref[0]
+    m_pad = k2.shape[0]
 
-    k = k_ref[0]  # (M, D)
-    v = v_ref[0]
-    logits = jax.lax.dot_general(
-        q.astype(k.dtype), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )
-    m_pad = k.shape[0]
-    if m_actual != m_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < m_actual, logits, -jnp.inf)
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+    for s in (0, d):
+        qn = (fc2[:, s:s + d].astype(f32) - st[0:1, s:s + d]) \
+            * st[1:2, s:s + d]
+        q = jax.lax.dot_general(
+            qn.astype(k2.dtype), wf[:, s:s + d],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + fb[:, s:s + d]  # (TN, d) f32
 
-    vv = jnp.concatenate([v, jnp.square(v)], axis=-1)
-    both = jax.lax.dot_general(
-        p.astype(v.dtype), vv, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ) / denom
-    d = v.shape[-1]
-    m1 = both[:, :d]
-    e2 = both[:, d:]
-    s = jnp.sqrt(jnp.clip(e2 - jnp.square(m1), min=1e-6))
-    o_ref[0] = (s * fcs_n + m1).astype(o_ref.dtype)
+        logits = jax.lax.dot_general(
+            q.astype(k2.dtype), k2[:, s:s + d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        if m_actual != m_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < m_actual, logits, -jnp.inf)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+
+        v_h = v2[:, s:s + d]
+        vv = jnp.concatenate([v_h, jnp.square(v_h)], axis=-1)  # (M, 2d)
+        both = jax.lax.dot_general(
+            p.astype(v2.dtype), vv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) / denom
+        m1 = both[:, :d]
+        e2 = both[:, d:]
+        sd = jnp.sqrt(jnp.clip(e2 - jnp.square(m1), min=1e-6))
+        fcs_n = (fs2[:, s:s + d].astype(f32) - st[2:3, s:s + d]) \
+            * st[3:4, s:s + d]
+        o_ref[0, :, s:s + d] = (sd * fcs_n + m1).astype(o_ref.dtype)
 
 
 def mhada_fused_prologue(fc_tok, fcs_tok, stats, wf, fb, k, v,
                          block_n: int = 256):
-    """Inference-only fused MHAda block core on token-major tensors.
+    """Inference-only fused MHAda block core, fully token-major.
 
     fc_tok, fcs_tok: (B, N, C) RAW tokens (pre-IN); stats: (B, 4, C) f32
     rows [mean_fc, rstd_fc, mean_fcs, rstd_fcs] per channel; wf: (H, D, D)
-    per-head Q projection; fb: (H, 1, D); k, v: (B, H, M, D) precomputed
-    style keys/values (infer.image.precompute_style_kv).  Returns (B, N, C).
+    per-head Q projection; fb: (H, D); k, v: (B, M, C) token-major
+    precomputed style keys/values (infer.image.precompute_style_kv).
+    Returns (B, N, C).
 
     Forward-only (no VJP): training uses the unfused path, whose kernels
     carry the flash-style Pallas VJP.
-
-    Layout note: Mosaic requires the last block dim to be 128-divisible or
-    the full array dim, so head slices are flattened head-major (bh, n, d)
-    like the other kernels; the (N, H) transposes are cheap XLA copies —
-    the win is that the normalised/projected tensors never hit HBM.
     """
     b, n, c = fc_tok.shape
     hh, d, _ = wf.shape
-    m = k.shape[2]
-    bh = b * hh
+    m = k.shape[1]
+    assert d == 64 and c % 128 == 0, (d, c)
+    pairs = c // 128
+    if fc_tok.dtype.itemsize > 2:
+        block_n = min(block_n, 128)  # f32: halve the tile (VMEM ceiling)
     tn = min(block_n, max(128, 1 << (n - 1).bit_length()))
     n_pad = -(-n // tn) * tn
     m_pad = -(-m // 128) * 128
 
-    def heads(t):  # (B, N, C) -> (bh, n_pad, d)
-        t = t.reshape(b, n, hh, d).transpose(0, 2, 1, 3).reshape(bh, n, d)
-        return _pad_axis(t, 1, n_pad)
+    fcp = _pad_axis(fc_tok, 1, n_pad)
+    fsp = _pad_axis(fcs_tok, 1, n_pad)
+    kp = _pad_axis(k, 1, m_pad)
+    vp = _pad_axis(v, 1, m_pad)
+    # (H, d, d) -> (pairs, d, 2d): output columns [head 2p | head 2p+1]
+    wfp = wf.reshape(pairs, 2, d, d).transpose(0, 2, 1, 3) \
+        .reshape(pairs, d, 2 * d)
+    fbp = fb.reshape(pairs, 1, 2 * d)
 
-    fcp = heads(fc_tok)
-    fsp = heads(fcs_tok)
-    stp = stats.astype(jnp.float32).reshape(b, 4, hh, d)
-    stp = stp.transpose(0, 2, 1, 3).reshape(bh, 4, d)
-    kp = _pad_axis(k.reshape(bh, m, d), 1, m_pad)
-    vp = _pad_axis(v.reshape(bh, m, d), 1, m_pad)
-
-    grid = (bh, n_pad // tn)
-    qspec = pl.BlockSpec((1, tn, d), lambda i, j: (i, j, 0),
+    grid = (b, pairs, n_pad // tn)
+    qspec = pl.BlockSpec((1, tn, 128), lambda i, p, j: (i, j, p),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, m_pad, d), lambda i, j: (i, 0, 0),
+    kvspec = pl.BlockSpec((1, m_pad, 128), lambda i, p, j: (i, 0, p),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, m_actual=m),
+        functools.partial(_fused_kernel, d=d, m_actual=m),
         grid=grid,
         in_specs=[
             qspec,
             qspec,
-            pl.BlockSpec((1, 4, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 4, 128), lambda i, p, j: (i, 0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, d), lambda i, j: (i % hh, 0, 0),
+            pl.BlockSpec((1, d, 128), lambda i, p, j: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda i, j: (i % hh, 0, 0),
+            pl.BlockSpec((1, 1, 128), lambda i, p, j: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             kvspec,
             kvspec,
         ],
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), fc_tok.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), fc_tok.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bh * n_pad * m_pad * d * 3,
-            bytes_accessed=4 * b * (3 * n_pad * c + 2 * hh * m_pad * d),
-            transcendentals=bh * n_pad * m_pad,
+            flops=2 * b * c // 64 * n_pad * m_pad * 64 * 3,
+            bytes_accessed=2 * b * (3 * n_pad * c + 2 * m_pad * c),
+            transcendentals=b * (c // 64) * n_pad * m_pad,
         ),
-    )(fcp, fsp, stp, wf, fb.reshape(hh, 1, d), kp, vp)
-    out = out[:, :n].reshape(b, hh, n, d).transpose(0, 2, 1, 3)
-    return out.reshape(b, n, c)
+    )(fcp, fsp, stats.astype(jnp.float32), wfp, fbp, kp, vp)
+    return out[:, :n]
 
 
 # ------------------------------------------------- streaming forward kernel

@@ -117,7 +117,7 @@ def main():
     frames = commit_to_device(
         jnp.asarray(rng.uniform(0, 255, (B, 512, 512, 3)), jnp.float32))
     kv8 = commit_to_device([
-        (jnp.tile(k, (B, 1, 1, 1)), jnp.tile(v, (B, 1, 1, 1)))
+        (jnp.tile(k, (B, 1, 1)), jnp.tile(v, (B, 1, 1)))
         for k, v in kv
     ])
     for name, mod in (("col", ada_col), ("col+fused", ada_best)):

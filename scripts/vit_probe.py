@@ -82,11 +82,15 @@ def main():
         t = timeit(fn, arg, iters=it)
         print(f"{name:28s} {t*1e3/B:6.3f} ms/frame", flush=True)
 
-    # whole block via the real flax module
+    # whole block via the real flax module (init on CPU, commit explicitly —
+    # a CPU-device arg poisons the jit backend choice)
     from mhada_tpu.models.vit import EncoderBlock, VisionTransformer
     blk = EncoderBlock(num_heads=H, mlp_dim=2048, use_pallas=True)
-    bp = jax.jit(blk.init, backend="cpu")(jax.random.PRNGKey(0), x)
-    bp = commit_to_device(jax.tree.map(lambda a: jnp.asarray(a), bp))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        bp = jax.jit(blk.init, backend="cpu")(
+            jax.random.PRNGKey(0), jnp.zeros((1, N, C), dt))
+    bp = commit_to_device(jax.device_put(bp, jax.devices()[0]))
     f_blk = jax.jit(lambda p, x: blk.apply(p, x))
     t = timeit(f_blk, bp, x, iters=it)
     print(f"{'EncoderBlock (whole)':28s} {t*1e3/B:6.3f} ms/frame", flush=True)
@@ -94,9 +98,10 @@ def main():
     img = commit_to_device(jnp.asarray(
         rng.uniform(0, 255, (B, 512, 512, 3)), jnp.float32))
     vit = VisionTransformer(use_pallas=True)
-    vp = jax.jit(vit.init, backend="cpu")(jax.random.PRNGKey(0),
-                                          jnp.zeros((1, 64, 64, 3)))
-    vp = commit_to_device(jax.tree.map(lambda a: jnp.asarray(a), vp))
+    with jax.default_device(cpu):
+        vp = jax.jit(vit.init, backend="cpu")(jax.random.PRNGKey(0),
+                                              jnp.zeros((1, 64, 64, 3)))
+    vp = commit_to_device(jax.device_put(vp, jax.devices()[0]))
 
     @jax.jit
     def f_vit(p, img):

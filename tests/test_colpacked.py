@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from mhada_tpu.ops.colpacked import (
     upsample2x_colpacked, colpacked_reflect_pad, colpacked_conv_relu,
-    col_to_space,
+    col_to_space, space_to_col,
 )
 from mhada_tpu.ops.pad_conv import conv2d_reflect, reflect_pad2d
 from mhada_tpu.ops.resize import upsample2x
@@ -28,21 +28,21 @@ def test_colpacked_reflect_pad_used_slots():
     """The pad slots the conv actually reads must equal full reflection."""
     x = _x(h=4, w=8, c=2)
     b, h, w, c = x.shape
-    xp = x.reshape(b, h, w // 2, 2, c)
+    xp = space_to_col(x)  # (b, h, w//2, 2c), channel slot = vx*C + c
     padded = colpacked_reflect_pad(xp)
     ref = reflect_pad2d(x, 1)  # (b, h+2, w+2, c) original-domain reflection
     # used left slot: packed col 0 (pad), vx=1 == original col -1 -> ref col 0
     np.testing.assert_array_equal(
-        np.asarray(padded[:, 1:-1, 0, 1]), np.asarray(ref[:, 1:-1, 0]))
+        np.asarray(padded[:, 1:-1, 0, c:]), np.asarray(ref[:, 1:-1, 0]))
     # used right slot: packed col J+1 (pad), vx=0 == original col 2J -> ref -1
     np.testing.assert_array_equal(
-        np.asarray(padded[:, 1:-1, -1, 0]), np.asarray(ref[:, 1:-1, -1]))
+        np.asarray(padded[:, 1:-1, -1, :c]), np.asarray(ref[:, 1:-1, -1]))
     # row pads (any column subpixel) == original-domain row reflection
     np.testing.assert_array_equal(
-        np.asarray(padded[:, 0, 1:-1].reshape(b, -1, c)),
+        np.asarray(col_to_space(padded[:, 0:1, 1:-1])[:, 0]),
         np.asarray(ref[:, 0, 1:-1]))
     np.testing.assert_array_equal(
-        np.asarray(padded[:, -1, 1:-1].reshape(b, -1, c)),
+        np.asarray(col_to_space(padded[:, -1:, 1:-1])[:, 0]),
         np.asarray(ref[:, -1, 1:-1]))
 
 
@@ -51,7 +51,7 @@ def test_colpacked_conv_relu_exact():
     w = jnp.asarray(RNG.standard_normal((3, 3, 4, 7)), jnp.float32)
     bias = jnp.asarray(RNG.standard_normal((7,)), jnp.float32)
     ref = jnp.maximum(conv2d_reflect(x, w, bias), 0)
-    xp = x.reshape(2, 6, 5, 2, 4)
+    xp = space_to_col(x)
     got = col_to_space(colpacked_conv_relu(xp, w, bias))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)

@@ -139,6 +139,47 @@ def test_fused_prologue_matches_unfused():
                                atol=5e-3, rtol=1e-2)
 
 
+def test_vit_attention_tokmaj_matches_naive():
+    """Token-major packed-qkv kernel (2 heads per 128-lane program) vs the
+    naive einsum module, including an unaligned query count."""
+    import math
+
+    from mhada_tpu.ops.attention_pallas import attention_pallas_tm
+
+    for n in (512, 576):
+        rng = np.random.default_rng(n)
+        c = 128
+        qkv = jnp.asarray(rng.standard_normal((2, n, 3 * c)), jnp.float32)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(2, n, 2, 64).transpose(0, 2, 1, 3)
+
+        scale = 1.0 / math.sqrt(64)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", heads(q), heads(k)) * scale
+        a = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", a, heads(v))
+        ref = ref.transpose(0, 2, 1, 3).reshape(2, n, c)
+        with pltpu.force_tpu_interpret_mode():
+            got = attention_pallas_tm(qkv, scale=scale, num_heads=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-3)
+
+
+def test_vit_attention_tokmaj_module_matches_naive():
+    from mhada_tpu.models.layers import MultiHeadSelfAttention
+
+    x = jnp.asarray(RNG.standard_normal((1, 512, 128)), jnp.float32)
+    naive = MultiHeadSelfAttention(num_heads=2)
+    fused = MultiHeadSelfAttention(num_heads=2, use_pallas=True, tokmaj=True)
+    params = naive.init(jax.random.PRNGKey(0), x)["params"]
+    ref = naive.apply({"params": params}, x)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)
+
+
 def test_vit_attention_pallas_matches_naive():
     from mhada_tpu.models.layers import MultiHeadSelfAttention
 
