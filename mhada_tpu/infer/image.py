@@ -31,7 +31,14 @@ def init_inference_params(
     # init executes the forward: run it on CPU with the naive MHAda backend
     # (param structure is backend-independent; the Pallas kernel has no CPU
     # compile path).
-    ada_init = models["adaFormer"].clone(use_pallas=False)
+    # param structure is backend-independent; the Pallas kernels (incl.
+    # the fused decoder tail) have no CPU compile path, and the plain
+    # "col" decoder shares the tail's param tree
+    ada_init = models["adaFormer"].clone(
+        use_pallas=False,
+        packed_decoder="col" if models["adaFormer"].packed_decoder
+        == "col_tail" else models["adaFormer"].packed_decoder,
+    )
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         x = jnp.zeros((1, h, w, 3), jnp.float32)
         k1, k2, k3 = jax.random.split(rng, 3)

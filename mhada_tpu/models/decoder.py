@@ -156,6 +156,17 @@ class PackedConvReLU(nn.Module):
         return packed_conv_relu(xp, k, b)
 
 
+class _ConvHolder(nn.Module):
+    """Parameter-only stand-in for a ConvReLU stage: identical param tree
+    (<name>/conv/{kernel, bias}) for paths that consume raw weights."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        return _ConvParams(self.features, name="conv")(c_in)
+
+
 class Decoder(nn.Module):
     """``packed`` executes the final (highest-resolution) stage in
     space-to-depth packed form — element-exact, better MXU utilisation for
@@ -165,7 +176,10 @@ class Decoder(nn.Module):
     - ``True`` / ``"2x2"``: 2x2 subpixel packing (4C channels, 4x redundant
       FLOPs);
     - ``"col"``: column-only packing (2C = 128 channels = MXU width, 2x
-      redundant FLOPs — half the work of "2x2" at the same utilisation).
+      redundant FLOPs — half the work of "2x2" at the same utilisation);
+    - ``"col_tail"``: column packing with c5+c6 fused into one Pallas
+      kernel (ops/decoder_tail_pallas.py) — TPU-only, forward-only
+      (inference builds).
 
     The param tree is identical in all modes."""
 
@@ -184,8 +198,14 @@ class Decoder(nn.Module):
             x = ConvReLU(64, name="c5")(x)
             return ConvReLU(3, name="c6")(x)
 
-        mode = "col" if self.packed == "col" else "2x2"
+        mode = "2x2" if self.packed in (True, "2x2") else "col"
         xp = ConvReluUpPacked(64, mode=mode, name="up3")(x)
+        if self.packed == "col_tail":
+            from ..ops.decoder_tail_pallas import decoder_tail_fused
+
+            k5, b5 = _ConvHolder(64, name="c5")(64)
+            k6, b6 = _ConvHolder(3, name="c6")(64)
+            return decoder_tail_fused(xp, k5, b5, k6, b6)
         xp = PackedConvReLU(64, mode=mode, name="c5")(xp)
         xp = PackedConvReLU(3, mode=mode, name="c6")(xp)
         if mode == "col":

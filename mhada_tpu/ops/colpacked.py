@@ -54,21 +54,38 @@ def upsample2x_colpacked(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([ce, co], axis=-1)  # channel slot = vx*C + c
 
 
-def colpacked_reflect_pad(xp: jnp.ndarray) -> jnp.ndarray:
-    """Pad (B, H, J, 2C) by one original pixel per side.
+def colpacked_reflect_pad(xp: jnp.ndarray, pad: int = 1,
+                          pcols: int | None = None) -> jnp.ndarray:
+    """Pad (B, H, J, 2C) by ``pad`` original pixels per side (pad packed
+    columns, i.e. 2*pad original columns, on the column axis — every slot
+    carries the full original-domain reflection value).
 
-    Rows: ordinary reflection.  Columns: subpixel-retaining reflection —
-    left [vx=1] = packed (0, vx=1) (orig col 1), right [vx=0] = packed
-    (J-1, vx=0) (orig col 2J-2); the never-read slots get the full-reflect
-    values.
+    Rows: ordinary reflection (row -k -> k).  Columns (derived from
+    orig -i -> i, 2J-1+i -> 2J-1-i with the vx*C+c channel layout):
+
+        left  pad col -p  = [orig 2p   | orig 2p-1 ] = [xp(p,   vx0) | xp(p-1,   vx1)]
+        right pad col J-1+p = [orig 2J-2p | orig 2J-2p-1] = [xp(J-p, vx0) | xp(J-p-1, vx1)]
     """
     c = xp.shape[-1] // 2
-    xp = jnp.concatenate([xp[:, 1:2], xp, xp[:, -2:-1]], axis=1)
-    left = jnp.concatenate(
-        [xp[:, :, 1:2, :c], xp[:, :, 0:1, c:]], axis=-1)
-    right = jnp.concatenate(
-        [xp[:, :, -1:, :c], xp[:, :, -2:-1, c:]], axis=-1)
-    return jnp.concatenate([left, xp, right], axis=2)
+    j = xp.shape[2]
+    if pcols is None:
+        # packed cols per side: col -p covers orig cols -2p..-2p+1
+        pcols = -(-pad // 2)
+    top = jnp.flip(xp[:, 1:pad + 1], axis=1)
+    bot = jnp.flip(xp[:, -pad - 1:-1], axis=1)
+    xp = jnp.concatenate([top, xp, bot], axis=1)
+    lefts = [
+        jnp.concatenate(
+            [xp[:, :, p:p + 1, :c], xp[:, :, p - 1:p, c:]], axis=-1)
+        for p in range(pcols, 0, -1)
+    ]
+    rights = [
+        jnp.concatenate(
+            [xp[:, :, j - p:j - p + 1, :c],
+             xp[:, :, j - p - 1:j - p, c:]], axis=-1)
+        for p in range(1, pcols + 1)
+    ]
+    return jnp.concatenate(lefts + [xp] + rights, axis=2)
 
 
 def colpack_conv_weights(w: jnp.ndarray) -> jnp.ndarray:

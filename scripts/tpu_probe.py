@@ -72,6 +72,9 @@ def main():
     ada_best = AdaFormer(num_layers=cfg.num_layers, num_heads=cfg.num_heads,
                          activation=cfg.activation, use_pallas=True,
                          packed_decoder="col", fuse_prologue=True)
+    ada_tail = AdaFormer(num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+                         activation=cfg.activation, use_pallas=True,
+                         packed_decoder="col_tail", fuse_prologue=True)
 
     def full(ada_mod):
         @jax.jit
@@ -120,7 +123,8 @@ def main():
         (jnp.tile(k, (B, 1, 1)), jnp.tile(v, (B, 1, 1)))
         for k, v in kv
     ])
-    for name, mod in (("col", ada_col), ("col+fused", ada_best)):
+    for name, mod in (("col", ada_col), ("col+fused", ada_best),
+                      ("tail+fused", ada_tail)):
         t = timeit(full(mod), params, frames, kv8, iters=max(4, it // 4))
         print(f"batched B=8 {name:9s} {t*1e3:7.2f} ms/call -> "
               f"{t/B*1e3:5.2f} ms/frame, {B/t:6.1f} fps", flush=True)
