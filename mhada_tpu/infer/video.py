@@ -35,9 +35,11 @@ def stream_stylize(
     max_frames: int = 0,
     chunk: int = 1,
 ):
-    """``chunk`` > 1 processes that many frames per device dispatch via
-    lax.scan (identical per-frame outputs; amortises dispatch overhead for
-    offline transcode — use 1 for live preview latency)."""
+    """``chunk`` > 1 processes that many frames per device dispatch,
+    BATCHED on the batch axis with the style K/V tiled to match (every op
+    is per-frame independent, so outputs are identical to one-by-one B=1;
+    the MXU sees chunk-x the rows and dispatch overhead amortises — the
+    bench.py transcode protocol).  Use 1 for live preview latency."""
     import cv2
 
     from .image import (
@@ -45,6 +47,7 @@ def stream_stylize(
         make_stylize_with_kv_fn,
         precompute_style_kv,
     )
+    from ..utils.device import commit_to_device
 
     cap = cv2.VideoCapture(video_path)
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
@@ -59,15 +62,12 @@ def stream_stylize(
     )
 
     if chunk > 1:
-        base = stylize
-
-        @jax.jit
-        def stylize_chunk(params, frames, kv):
-            def body(_, c):
-                return 0.0, base(params, c, kv)
-
-            _, out = jax.lax.scan(body, 0.0, frames)
-            return out
+        fs_chunk = commit_to_device([
+            (jnp.tile(k, (chunk, 1, 1)), jnp.tile(v, (chunk, 1, 1)))
+            for k, v in fs
+        ])
+        stylize_chunk = jax.jit(
+            lambda params, frames, kv: stylize(params, frames, kv))
 
     frame_q: "queue.Queue" = queue.Queue(maxsize=4)
 
@@ -107,10 +107,10 @@ def stream_stylize(
             buf.append(item)
             if len(buf) == chunk:
                 outs = stylize_chunk(
-                    params, jnp.asarray(np.stack(buf))[:, None], fs
+                    params, jnp.asarray(np.stack(buf)), fs_chunk
                 )
                 for j in range(chunk):
-                    emit(outs[j])
+                    emit(outs[j:j + 1])
                 buf = []
     for item in buf:  # tail frames below chunk size
         emit(stylize(params, jnp.asarray(item)[None], fs))
