@@ -455,18 +455,28 @@ def _attn_fwd(q, k, v, scale, block_n, block_m, streaming):
 
 def _attn_bwd(scale, block_n, block_m, streaming, res, g):
     q, k, v, out, lse = res
+    # backward holds more VMEM buffers per program: clamp its tiles
     return _attn_stream_bwd_impl(q, k, v, out, lse, g, scale,
-                                 block_n, block_m)
+                                 min(block_n, 256), min(block_m, 512))
 
 
 _attn_custom.defvjp(_attn_fwd, _attn_bwd)
 
 
-def attention_pallas(q, k, v, scale: float, block_n: int = 256,
-                     block_m: int = 512, streaming: bool | None = None):
+def attention_pallas(q, k, v, scale: float, block_n: int | None = None,
+                     block_m: int | None = None,
+                     streaming: bool | None = None):
     """Fused attention with a flash-style Pallas VJP (forward saves out+lse,
     backward streams tiles) so the encoder trains without ever materialising
-    the (N, M) attention matrix."""
+    the (N, M) attention matrix.
+
+    Default tiles: single-pass (256, m); streaming (512, 2048), halved for
+    f32 — see mhada_attention_pallas for the v5e measurements."""
     if streaming is None:
         streaming = k.shape[2] > SINGLE_PASS_MAX_M
+    small = 2 if q.dtype.itemsize > 2 else 1
+    if block_n is None:
+        block_n = (512 if streaming else 256) // small
+    if block_m is None:
+        block_m = 2048 // small
     return _attn_custom(q, k, v, scale, block_n, block_m, bool(streaming))

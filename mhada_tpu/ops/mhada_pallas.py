@@ -601,15 +601,18 @@ def _mhada_fwd(q, k, v, fcs_n, block_n, block_m, streaming):
 
 def _mhada_bwd(block_n, block_m, streaming, res, g):
     q, k, v, fcs_n, m1e2, lse = res
+    # backward holds many more VMEM buffers per program than the forward —
+    # clamp to tiles that fit regardless of the forward's streaming sizes
     return _mhada_stream_bwd_impl(q, k, v, fcs_n, m1e2, lse, g,
-                                  block_n, block_m)
+                                  min(block_n, 256), min(block_m, 512))
 
 
 _mhada_custom.defvjp(_mhada_fwd, _mhada_bwd)
 
 
-def mhada_attention_pallas(q, k, v, fcs_n, block_n: int = 256,
-                           block_m: int = 512, streaming: bool | None = None):
+def mhada_attention_pallas(q, k, v, fcs_n, block_n: int | None = None,
+                           block_m: int | None = None,
+                           streaming: bool | None = None):
     """Drop-in replacement for ops.mhada.mhada_attention (softmax activation).
 
     q, fcs_n: (B, H, N, D); k, v: (B, H, M, D).  Returns (B, H, N, D).
@@ -617,7 +620,17 @@ def mhada_attention_pallas(q, k, v, fcs_n, block_n: int = 256,
     M=4096, flash-style key streaming beyond.  Differentiable: the VJP runs
     the streaming forward (saving M1/E2 + row lse) and two flash-style
     backward kernels — nothing materialises the (N, M) attention matrix.
+
+    Default tiles: single-pass (256, m); streaming (512, 2048) — measured
+    57.6 vs 30.8 TF/s for (256, 512) at 1024^2 on v5e (more rows amortise
+    the per-key-block online-softmax rescale; bigger key blocks cut the
+    number of rescale passes).  Halved for f32 (VMEM).
     """
     if streaming is None:
         streaming = k.shape[2] > SINGLE_PASS_MAX_M
+    small = 2 if q.dtype.itemsize > 2 else 1
+    if block_n is None:
+        block_n = (512 if streaming else 256) // small
+    if block_m is None:
+        block_m = 2048 // small
     return _mhada_custom(q, k, v, fcs_n, block_n, block_m, bool(streaming))
