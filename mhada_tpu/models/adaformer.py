@@ -69,8 +69,11 @@ class AdaAttnMultiHead(nn.Module):
         out_bias = self.param("out_bias", torch_uniform_init(C), (C,))
         dt = fc.dtype
 
+        # the fused-prologue kernel is single-pass (keys VMEM-resident):
+        # beyond M=4096 fall through to the streaming unfused path
         if (self.fuse_prologue and self.use_pallas and style_kv is not None
-                and self.activation == "softmax"):
+                and self.activation == "softmax"
+                and style_kv[0].shape[1] <= 4096):
             from ..ops.mhada_pallas import mhada_fused_prologue
 
             def in_stats(tok):

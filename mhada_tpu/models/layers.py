@@ -126,7 +126,9 @@ class MultiHeadSelfAttention(nn.Module):
         )
         qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * E,))
         qkv = x @ qkv_kernel.astype(x.dtype) + qkv_bias.astype(x.dtype)
-        if (self.tokmaj and self.use_pallas and L >= 512
+        # token-major kernel is single-pass (keys VMEM-resident): beyond
+        # L=4096 fall through to the head-major streaming kernel
+        if (self.tokmaj and self.use_pallas and 512 <= L <= 4096
                 and hd == 64 and E % 128 == 0):
             from ..ops.attention_pallas import attention_pallas_tm
 
