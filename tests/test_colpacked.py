@@ -73,6 +73,29 @@ def test_decoder_col_mode_exact():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_decoder_col_mode_gradients_match():
+    """Col-packed decoder is the TPU training default: its gradients must
+    match the unpacked formulation (pure-XLA ops, autodiff)."""
+    import jax
+
+    from mhada_tpu.models import Decoder
+
+    x = _x(b=1, h=4, w=6, c=512)
+    plain = Decoder(packed=False)
+    col = Decoder(packed="col")
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(mod, p, x):
+        return jnp.sum(jnp.sin(mod.apply({"params": p}, x) * 0.01))
+
+    g_ref = jax.grad(lambda p: loss(plain, p, x))(params)
+    g_col = jax.grad(lambda p: loss(col, p, x))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        g_col, g_ref)
+
+
 def test_colpacked_chain_matches_unpacked_stage():
     """up3 -> c5 -> c6 chain: packed pipeline == unpacked pipeline."""
     x = _x(b=1, h=8, w=12, c=6)
