@@ -115,10 +115,14 @@ def colpacked_conv_relu(
     """
     xpad = colpacked_reflect_pad(xp)
     wp = colpack_conv_weights(w)
+    # f32 output request only for f32 inputs (no-op): with bf16 operands it
+    # breaks the conv transpose rule under AD (f32 cotangent x bf16 kernel
+    # — see ops/pad_conv.py), and the MXU accumulates in f32 either way.
+    preferred = jnp.float32 if xp.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         xpad, wp.astype(xp.dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     ).astype(xp.dtype)
     y = y + jnp.tile(b.astype(xp.dtype), 2)
     return jnp.maximum(y, 0)

@@ -114,10 +114,13 @@ def packed_conv_relu(
     xpad = packed_reflect_pad(xp)
     flat = xpad.reshape(bsz, ih + 2, jw + 2, 4 * c)
     wp = pack_conv_weights(w)
+    # f32 output request only for f32 inputs: with bf16 operands it breaks
+    # the conv transpose rule under AD (see ops/pad_conv.py)
+    preferred = jnp.float32 if flat.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         flat, wp.astype(flat.dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     ).astype(xp.dtype)
     y = y + jnp.tile(b.astype(xp.dtype), 4)
     y = jnp.maximum(y, 0)

@@ -96,6 +96,23 @@ def test_decoder_col_mode_gradients_match():
         g_col, g_ref)
 
 
+def test_colpacked_conv_bf16_differentiable():
+    """bf16 training regression: a hardcoded f32 preferred_element_type
+    broke the conv transpose rule under AD (f32 cotangent x bf16 kernel)."""
+    import jax
+
+    x = _x(b=1, h=4, w=8, c=4).astype(jnp.bfloat16)
+    w = jnp.asarray(RNG.standard_normal((3, 3, 4, 4)), jnp.bfloat16)
+    b = jnp.asarray(RNG.standard_normal((4,)), jnp.bfloat16)
+
+    def loss(w):
+        return jnp.sum(
+            colpacked_conv_relu(space_to_col(x), w, b).astype(jnp.float32))
+
+    g = jax.grad(loss)(w)  # must not raise
+    assert np.isfinite(np.asarray(g.astype(jnp.float32))).all()
+
+
 def test_colpacked_chain_matches_unpacked_stage():
     """up3 -> c5 -> c6 chain: packed pipeline == unpacked pipeline."""
     x = _x(b=1, h=8, w=12, c=6)
