@@ -44,6 +44,11 @@ class AdaAttnMultiHead(nn.Module):
     # fuse the per-head IN + Q projection into the Pallas kernel prologue
     # (inference-only: the fused op has no VJP; see ops/mhada_pallas.py)
     fuse_prologue: bool = False
+    # sequence parallelism: content/stylised tokens sharded over this mesh
+    # axis inside shard_map — their instance-norm statistics reduce
+    # globally; style K/V are replicated so attention itself is local
+    # (parallel/sp.py)
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, fc, fs, fcs, style_kv=None):
@@ -72,7 +77,7 @@ class AdaAttnMultiHead(nn.Module):
         # the fused-prologue kernel is single-pass (keys VMEM-resident):
         # beyond M=4096 fall through to the streaming unfused path
         if (self.fuse_prologue and self.use_pallas and style_kv is not None
-                and self.activation == "softmax"
+                and self.activation == "softmax" and self.sp_axis is None
                 and style_kv[0].shape[1] <= 4096):
             from ..ops.mhada_pallas import mhada_fused_prologue
 
@@ -90,8 +95,8 @@ class AdaAttnMultiHead(nn.Module):
                 fc, fcs, stats, fk.astype(dt), fb.astype(dt), k, v)
             return out @ out_kernel.astype(dt) + out_bias.astype(dt)
 
-        qn = instance_norm_tokens(fc)
-        fcs_n = instance_norm_tokens(fcs)
+        qn = instance_norm_tokens(fc, axis_name=self.sp_axis)
+        fcs_n = instance_norm_tokens(fcs, axis_name=self.sp_axis)
 
         B, N, _ = fc.shape
         dt = fc.dtype

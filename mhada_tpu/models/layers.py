@@ -116,6 +116,10 @@ class MultiHeadSelfAttention(nn.Module):
     # token-major kernel (2 heads per 128-lane program, zero head-split
     # transposes) — forward-only, inference builds (ops/attention_pallas.py)
     tokmaj: bool = False
+    # sequence parallelism: inside shard_map with the token axis sharded
+    # over this mesh axis, keys/values are all-gathered so every shard's
+    # local queries attend over the full sequence (parallel/sp.py)
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -128,8 +132,8 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = x @ qkv_kernel.astype(x.dtype) + qkv_bias.astype(x.dtype)
         # token-major kernel is single-pass (keys VMEM-resident): beyond
         # L=4096 fall through to the head-major streaming kernel
-        if (self.tokmaj and self.use_pallas and 512 <= L <= 4096
-                and hd == 64 and E % 128 == 0):
+        if (self.tokmaj and self.use_pallas and self.sp_axis is None
+                and 512 <= L <= 4096 and hd == 64 and E % 128 == 0):
             from ..ops.attention_pallas import attention_pallas_tm
 
             o = attention_pallas_tm(
@@ -139,6 +143,11 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
+        if self.sp_axis is not None:
+            # local queries x full keys/values — the K/V all-gather rides
+            # ICI; the (N_loc, N_glob) score tile stays shard-local
+            k = jax.lax.all_gather(k, self.sp_axis, axis=2, tiled=True)
+            v = jax.lax.all_gather(v, self.sp_axis, axis=2, tiled=True)
         if self.use_pallas and L >= 512:
             # fused VMEM kernel: at long sequences XLA materialises the
             # (H, L, L) logits in HBM (ops/attention_pallas.py).

@@ -17,6 +17,7 @@ All tensors NHWC; tokens (B, N, C).
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -110,6 +111,7 @@ class EncoderBlock(nn.Module):
     attn_mode: str = "spatial"
     use_pallas: bool = False
     tokmaj: bool = False  # see MultiHeadSelfAttention.tokmaj
+    sp_axis: str | None = None  # see MultiHeadSelfAttention.sp_axis
 
     @nn.compact
     def __call__(self, x):
@@ -119,6 +121,7 @@ class EncoderBlock(nn.Module):
             self.num_heads,
             use_pallas=self.use_pallas and self.attn_mode == "spatial",
             tokmaj=self.tokmaj,
+            sp_axis=self.sp_axis if self.attn_mode == "spatial" else None,
             name="attention",
         )
         if self.attn_mode == "spatial":
@@ -152,6 +155,10 @@ class VisionTransformer(nn.Module):
     attn_mode: str = "spatial"
     use_pallas: bool = False
     tokmaj: bool = False  # see MultiHeadSelfAttention.tokmaj
+    # sequence parallelism (parallel/sp.py): the input rows — hence the
+    # token grid's row axis — are sharded over this mesh axis inside
+    # shard_map; attention all-gathers K/V, everything else is local.
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -159,9 +166,19 @@ class VisionTransformer(nn.Module):
             self.patch_size, self.hidden_dim, name="patch_embedding"
         )(x)
         if self.pos_embedding:
-            tokens = tokens + PosEmbedding(
-                self.hidden_dim, name="pos_embedding"
-            )((h, w)).astype(tokens.dtype)
+            pos = PosEmbedding(self.hidden_dim, name="pos_embedding")
+            if self.sp_axis is None:
+                tokens = tokens + pos((h, w)).astype(tokens.dtype)
+            else:
+                # local rows are a slice of the GLOBAL position grid:
+                # regrid at the global size, slice this shard's rows
+                n_sh = jax.lax.psum(1, self.sp_axis)
+                idx = jax.lax.axis_index(self.sp_axis)
+                pg = pos((h * n_sh, w)).reshape(1, h * n_sh, w,
+                                                self.hidden_dim)
+                pl = jax.lax.dynamic_slice_in_dim(pg, idx * h, h, axis=1)
+                tokens = tokens + pl.reshape(1, h * w, self.hidden_dim) \
+                    .astype(tokens.dtype)
         feats = []
         for i in range(self.num_layers):
             tokens = EncoderBlock(
@@ -170,6 +187,7 @@ class VisionTransformer(nn.Module):
                 attn_mode=self.attn_mode,
                 use_pallas=self.use_pallas,
                 tokmaj=self.tokmaj,
+                sp_axis=self.sp_axis,
                 name=f"block{i}",
             )(tokens)
             feats.append(tokens.reshape(-1, h, w, self.hidden_dim))

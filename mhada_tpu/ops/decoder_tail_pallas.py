@@ -127,7 +127,6 @@ def decoder_tail_fused(up_cp, w5, b5, w6, b6):
     exactly ``ConvReLU(c6)(ConvReLU(c5)(col_to_space(up_cp)))``.
     """
     b, h, j, c2 = up_cp.shape
-    c = c2 // 2
     # f32 doubles every VMEM buffer: halve the row tile
     _TH = 8 if up_cp.dtype.itemsize > 2 else 16
     assert h % _TH == 0 and c2 == 128, (h, c2)

@@ -16,8 +16,20 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x - mean) * lax.rsqrt(var + eps)
 
 
-def instance_norm_tokens(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Token layout variant: x (B, N, C), normalised over N per (b, c)."""
+def instance_norm_tokens(
+    x: jnp.ndarray, eps: float = 1e-5, axis_name: str | None = None
+) -> jnp.ndarray:
+    """Token layout variant: x (B, N, C), normalised over N per (b, c).
+
+    ``axis_name``: inside shard_map with the token axis sharded over that
+    mesh axis, the statistics are reduced globally (pmean over shards) so
+    the result equals the unsharded computation (sequence parallelism,
+    parallel/sp.py).
+    """
     mean = jnp.mean(x, axis=1, keepdims=True)
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
     var = jnp.mean(jnp.square(x - mean), axis=1, keepdims=True)
+    if axis_name is not None:
+        var = lax.pmean(var, axis_name)
     return (x - mean) * lax.rsqrt(var + eps)

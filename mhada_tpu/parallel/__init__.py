@@ -5,6 +5,7 @@ from .mesh import (
     param_sharding_rules,
     shard_params,
 )
+from .sp import make_sp_stylize_fn
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,5 @@ __all__ = [
     "replicate",
     "param_sharding_rules",
     "shard_params",
+    "make_sp_stylize_fn",
 ]
