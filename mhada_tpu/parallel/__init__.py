@@ -6,6 +6,7 @@ from .mesh import (
     shard_params,
 )
 from .sp import make_sp_stylize_fn
+from .pp import make_pp_stylize_fn
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "param_sharding_rules",
     "shard_params",
     "make_sp_stylize_fn",
+    "make_pp_stylize_fn",
 ]
