@@ -142,8 +142,9 @@ def progressive_vgg_reconstruction(
     ``vgg_apply`` maps a [0, 1]-domain image to the 5-tap feature dict
     (the reference's local VGG19 normalises WITHOUT /255,
     visual_cnn.py:9-15).  target_img01: (1, H, W, 3) in [0, 1].
-    Yields (name, image01) pairs, image clamped to [0, 1]
-    (reference deprocess, visual_cnn.py:53-58).
+    Yields (name, image01, losses) 3-tuples — the prefix name, the
+    reconstructed image clamped to [0, 1] (reference deprocess,
+    visual_cnn.py:53-58), and the per-step loss trace.
     """
     all_layers = [f"relu{i}_1" for i in range(1, 6)]
     target = {k: jax.lax.stop_gradient(v)
@@ -207,8 +208,13 @@ def main(argv=None):
     ap.add_argument("--vgg19", help="torchvision VGG19 .pth (vgg mode)")
     args = ap.parse_args(argv)
 
+    # for_training=True: inversion takes jax.grad through the encoders, so
+    # the forward-only token-major attention kernels (no VJP) must stay off —
+    # the training build routes attention through the head-major flash
+    # kernels, which have a custom VJP.
     models = build_models(
-        ModelConfig(attn_mode="batch_coupled" if args.ada else "spatial")
+        ModelConfig(attn_mode="batch_coupled" if args.ada else "spatial"),
+        for_training=True,
     )
     if args.ada:
         params = load_pth_params(args.ada, args.vitc, args.vits)

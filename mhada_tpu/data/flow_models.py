@@ -7,7 +7,9 @@ provides the ``flow_fn`` plug points:
 - ``farneback_flow_fn``   classical dense flow (cv2, no weights) — default
   stand-in so the temporal harnesses run everywhere.  Numbers differ from
   RAFT-based ones; record the backend next to any published metric.
-- ``raft_flow_fn``        hook for a future JAX RAFT port / any callable.
+- ``raft_flow_fn``        wraps any flow callable; ``make_raft_flow_fn``
+  builds it from the in-tree JAX RAFT-large port (``models/raft.py``) on
+  imported torchvision weights — the reference-protocol backend.
 
 All flow fns map (img1_rgb_255, img2_rgb_255) HWC float32 -> (H, W, 2) pixel
 flow of img1 -> img2.

@@ -179,6 +179,39 @@ def test_visual_inversion(setup):
     assert u8.dtype == np.uint8
 
 
+def test_inversion_build_is_differentiable():
+    """Regression (ADVICE r2): feature inversion takes jax.grad through the
+    encoders, so the visualize driver must use the training build — the
+    inference build's token-major attention kernel (engaged on TPU for
+    512<=L<=4096) is forward-only and fails under reverse-mode autodiff."""
+    import inspect
+
+    from mhada_tpu.analysis import visualize
+    from mhada_tpu.train.train_image import build_models as bm
+
+    src = inspect.getsource(visualize.main)
+    assert "for_training=True" in src
+
+    # the training build must route attention through VJP-capable paths
+    m = bm(ModelConfig(mhada_backend="pallas"), for_training=True)
+    assert not m["vit_c"].tokmaj and not m["vit_s"].tokmaj
+    assert not m["adaFormer"].fuse_prologue
+
+    # ...and grad actually flows through that exact build
+    x = jnp.asarray(RNG.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        params = m["vit_c"].init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(img):
+            feats = m["vit_c"].apply({"params": params}, img)
+            return sum(jnp.mean(jnp.square(f)) for f in feats)
+
+        g = jax.grad(loss)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_progressive_lbfgs_reconstruction():
     """visual_cnn parity: LBFGS progressive reconstruction converges (loss
     drops substantially within a few quasi-Newton steps) and yields the 5
