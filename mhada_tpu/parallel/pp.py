@@ -1,32 +1,45 @@
-"""Pipeline parallelism over the MHAda block chain (GPipe-style).
+"""Pipeline parallelism over the full stylization chain (GPipe-style).
 
 The AdaFormer's 2*num_layers attention blocks all map (B, N, C) tokens to
 (B, N, C) tokens — a uniform-activation chain that pipelines cleanly:
-stage s (one device of the 'pipe' mesh axis) runs blocks
+stage s (one device of the mesh axis) runs blocks
 [blocks_per_stage*s, blocks_per_stage*(s+1)); microbatched frames flow
 through stages via ``lax.ppermute`` inside a ``lax.scan`` (M + S - 1
 ticks for M microbatches over S stages).
 
-TPU-idiomatic details:
+This is a REAL pipeline, not a replicated demo:
 
-- **stacked stage weights**: every device executes the SAME program; the
-  per-stage block parameters are stacked on a leading (S,) axis and each
-  device slices its own by ``lax.axis_index`` — no per-device control
-  flow, so the scan body stays a single compiled region;
+- **stage 0 encodes**: the ViT forward of microbatch t runs inside
+  ``lax.cond((idx == 0) & (t < M), ...)`` at tick t — an HLO conditional,
+  so the patch-embed/attention work executes on the first stage only
+  (XLA conditionals are runtime control flow on TPU, not select);
+- **the last stage decodes**: the 9-conv upsampling decoder runs inside
+  ``lax.cond(idx == S - 1, ...)`` on the fcs each tick emits;
+- **activations move only by ppermute**: the (L+1, B, N, C) token bundle
+  rides the ring one hop per tick; there is no all_gather anywhere — the
+  decoded frames stay on the last stage and the host slices that stage's
+  shard out of the stacked (S*M, ...) output;
+- **stacked stage weights**: per-stage block parameters are stacked on a
+  leading (S,) axis and each device slices its own by ``lax.axis_index``
+  — every device runs the SAME compiled program (SPMD), with the
+  stage-specific encode/decode guarded by conditionals, not duplicated;
 - **query-source selection**: block j queries fc[j//2] when j is even and
   the running fcs when odd (reference adaDecoder.py:262-265).  Which
   source each of a stage's block positions uses varies per stage, so the
   selection is a per-stage one-hot blend over (fc0..fc_{L-1}, fcs) —
-  data, not control flow;
-- the ViT encoder runs before the pipe (its feature pyramid rides along
-  as part of each microbatch's activation), the decoder after it.
+  data, not control flow.
+
+tests/test_pp.py keeps the exactness gate (pipelined == single-device)
+and adds the structural gate: the traced program contains NO convolution
+outside a ``cond`` branch, i.e. encode/decode cannot be running
+unconditionally on every stage.
 
 Inference-only orchestration: capability demo for the multi-chip dryrun
-and the 8-virtual-device test suite (tests/test_pp.py — exact vs the
-single-device forward).
+and the 8-virtual-device test suite.  Reference chain being staged:
+adaDecoder.py:262-268 (encode: vit.py:148-169, decode: conv.py:96-100).
 """
 
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +65,8 @@ def _stack_stage_params(pa: Dict, n_blocks: int, n_stages: int):
 
 def make_pp_stylize_fn(models: Dict, mesh: Mesh, axis: str = "data",
                        dtype=jnp.float32):
-    """Build ``fn(params, contents, style_kv) -> cs`` pipelining the MHAda
-    chain over the ``axis`` mesh dimension.
+    """Build ``fn(params, contents, style_kv) -> cs`` pipelining the full
+    encode -> MHAda chain -> decode over the ``axis`` mesh dimension.
 
     contents: (M, 1, H, W, 3) — M microbatch frames (M >= 1); style_kv
     from ``infer.image.precompute_style_kv`` (B=1, replicated).  Returns
@@ -97,18 +110,25 @@ def make_pp_stylize_fn(models: Dict, mesh: Mesh, axis: str = "data",
         ]
         sel_s = jnp.asarray(sel)[idx]  # (per, L+1)
 
-        m = contents.shape[0]
+        m, b = contents.shape[0], contents.shape[1]
+        ps = vit_c.patch_size
+        hh, ww = contents.shape[2] // ps, contents.shape[3] // ps
+        n_tok = hh * ww
+        c = kv[0][1].shape[-1]  # hidden dim (style V channels)
 
         def encode(x):
             fc = vit_c.apply({"params": params["vit_c"]}, x.astype(dtype))
-            b, hh_, ww_, c = fc[0].shape
-            toks = jnp.stack([f.reshape(b, hh_ * ww_, c) for f in fc])
+            toks = jnp.stack([f.reshape(b, n_tok, c) for f in fc])
             # (L+1, B, N, C): [fc_0..fc_{L-1}, fcs_init = fc_0]
             return jnp.concatenate([toks, toks[:1]], axis=0)
 
-        ps = vit_c.patch_size
-        hh, ww = contents.shape[2] // ps, contents.shape[3] // ps
-        toks_all = jax.lax.map(encode, contents)  # (M, L+1, B, N, C)
+        dec = Decoder(packed="col" if ada.packed_decoder == "col_tail"
+                      else ada.packed_decoder, name="decoder")
+
+        def decode(fcs):
+            cs = dec.apply({"params": params["adaFormer"]["decoder"]},
+                           fcs.reshape(b, hh, ww, c))
+            return jnp.clip(cs.astype(jnp.float32), 0, 255)
 
         def stage_compute(act):
             # act: (L+1, B, N, C) = [fc_0..fc_{L-1}, fcs]
@@ -122,40 +142,42 @@ def make_pp_stylize_fn(models: Dict, mesh: Mesh, axis: str = "data",
             return act
 
         right = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        out_hw = (b, hh * 8, ww * 8, 3)  # decoder upsamples 8x
 
-        def tick(carry, t):
-            act = carry
-            # inject a fresh microbatch at stage 0
-            fresh = jax.lax.dynamic_index_in_dim(
-                toks_all, jnp.minimum(t, m - 1), 0, False)
-            act = jnp.where(idx == 0, fresh, act)
+        def tick(act, t):
+            # fill ticks: stage 0 (and only stage 0) encodes microbatch t
+            act = jax.lax.cond(
+                jnp.logical_and(idx == 0, t < m),
+                lambda a: encode(jax.lax.dynamic_index_in_dim(
+                    contents, jnp.minimum(t, m - 1), 0, False)),
+                lambda a: a,
+                act,
+            )
             out = stage_compute(act)
-            # last stage emits its fcs; the rest flows downstream
-            nxt = jax.lax.ppermute(out, axis, right)
-            return nxt, out[-1]
+            # the last stage (and only it) decodes what it just emitted
+            cs = jax.lax.cond(
+                idx == n_stages - 1,
+                decode,
+                lambda f: jnp.zeros(out_hw, jnp.float32),
+                out[-1],
+            )
+            return jax.lax.ppermute(out, axis, right), cs
 
-        _, emitted = jax.lax.scan(
-            tick, jnp.zeros_like(toks_all[0]),
-            jnp.arange(m + n_stages - 1))
-        # microbatch i's result leaves the LAST stage at tick i + S - 1;
-        # gather every stage's emission stream and keep the last stage's
-        stream = jax.lax.all_gather(emitted, axis)[n_stages - 1]
-        fcs_seq = stream[n_stages - 1:]  # (M, B, N, C)
+        init = jnp.zeros((n_layers + 1, b, n_tok, c), dtype)
+        _, emitted = jax.lax.scan(tick, init, jnp.arange(m + n_stages - 1))
+        # microbatch i leaves the LAST stage at tick i + S - 1; all other
+        # stages emitted zeros.  Per-device result: (M, B, H', W', 3).
+        return emitted[n_stages - 1:]
 
-        dec = Decoder(packed="col" if ada.packed_decoder == "col_tail"
-                      else ada.packed_decoder, name="decoder")
-
-        def decode(fcs):
-            b = fcs.shape[0]
-            cs = dec.apply({"params": params["adaFormer"]["decoder"]},
-                           fcs.reshape(b, hh, ww, -1))
-            return jnp.clip(cs.astype(jnp.float32), 0, 255)
-
-        return jax.lax.map(decode, fcs_seq)
-
-    kwargs = dict(mesh=mesh, in_specs=(P(), P(), P()), out_specs=P())
+    kwargs = dict(mesh=mesh, in_specs=(P(), P(), P()),
+                  out_specs=P(axis))  # stack per-stage streams on dim 0
     try:
         sharded = shard_map(shard_fn, **kwargs, check_vma=False)
     except TypeError:
         sharded = shard_map(shard_fn, **kwargs, check_rep=False)
-    return jax.jit(sharded)
+
+    def fn(params, contents, kv):
+        stacked = sharded(params, contents, kv)  # (S*M, B, H', W', 3)
+        return stacked[-contents.shape[0]:]  # the last stage's stream
+
+    return jax.jit(fn)
