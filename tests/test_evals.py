@@ -131,3 +131,41 @@ def test_inception_full_shapes():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     taps = model.apply({"params": params}, x)
     assert [t.shape[-1] for t in taps] == [64, 192, 768, 2048]
+
+
+def test_frechet_distance_rank_deficient_stabilisation():
+    """Pin the sqrtm-stabilisation path (reference SIFID/sifid_score.py:
+    128-182): rank-deficient covariances — the norm at SIFID's tiny
+    per-location sample counts — must produce a finite, non-negative
+    distance via the eps-offset retry / real-part extraction, and the
+    diagonal case must match the closed form."""
+    from mhada_tpu.evals.sifid import calculate_frechet_distance
+
+    rng = np.random.default_rng(0)
+
+    # rank-1 covariance from 2 samples in 8-d: sqrtm(s1 @ s2) is singular
+    a = rng.normal(size=(2, 8))
+    b = rng.normal(size=(2, 8))
+    s1 = np.cov(a, rowvar=False)
+    s2 = np.cov(b, rowvar=False)
+    d = calculate_frechet_distance(a.mean(0), s1, b.mean(0), s2)
+    assert np.isfinite(d) and d > 0
+
+    # identical rank-deficient gaussians -> ~0 (stabilisation must not
+    # inject spurious distance beyond the eps offset)
+    d0 = calculate_frechet_distance(a.mean(0), s1, a.mean(0), s1.copy())
+    assert np.isfinite(d0) and abs(d0) < 1e-6
+
+    # exactly-zero covariance: trace terms vanish, distance = ||mu diff||^2
+    z = np.zeros((4, 4))
+    mu1, mu2 = np.arange(4.0), np.zeros(4)
+    d_z = calculate_frechet_distance(mu1, z, mu2, z)
+    assert d_z == pytest.approx(float(mu1 @ mu1), abs=1e-6)
+
+    # diagonal closed form: ||dmu||^2 + sum(v1 + v2 - 2 sqrt(v1 v2))
+    v1 = np.array([1.0, 2.0, 3.0])
+    v2 = np.array([0.5, 2.0, 4.0])
+    dmu = np.array([1.0, -1.0, 0.5])
+    expect = float(dmu @ dmu + np.sum(v1 + v2 - 2 * np.sqrt(v1 * v2)))
+    got = calculate_frechet_distance(dmu, np.diag(v1), np.zeros(3), np.diag(v2))
+    assert got == pytest.approx(expect, rel=1e-9)
