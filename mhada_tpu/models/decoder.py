@@ -177,9 +177,9 @@ class Decoder(nn.Module):
       FLOPs);
     - ``"col"``: column-only packing (2C = 128 channels = MXU width, 2x
       redundant FLOPs — half the work of "2x2" at the same utilisation);
-    - ``"col_tail"``: column packing with c5+c6 fused into one Pallas
-      kernel (ops/decoder_tail_pallas.py) — TPU-only, forward-only
-      (inference builds).
+    - ``"col_tail"``: column packing with the final conv run as the
+      transposed-stacked Pallas kernel (ops/decoder_tail_pallas.py) —
+      TPU-only, forward-only (inference builds).
 
     The param tree is identical in all modes."""
 
@@ -201,11 +201,11 @@ class Decoder(nn.Module):
         mode = "2x2" if self.packed in (True, "2x2") else "col"
         xp = ConvReluUpPacked(64, mode=mode, name="up3")(x)
         if self.packed == "col_tail":
-            from ..ops.decoder_tail_pallas import decoder_tail_fused
+            from ..ops.decoder_tail_pallas import c6_transposed
 
-            k5, b5 = _ConvHolder(64, name="c5")(64)
+            xp = PackedConvReLU(64, mode="col", name="c5")(xp)
             k6, b6 = _ConvHolder(3, name="c6")(64)
-            return decoder_tail_fused(xp, k5, b5, k6, b6)
+            return c6_transposed(xp, k6, b6)
         xp = PackedConvReLU(64, mode=mode, name="c5")(xp)
         xp = PackedConvReLU(3, mode=mode, name="c6")(xp)
         if mode == "col":

@@ -35,19 +35,23 @@ def xavier_uniform_packed_qkv(embed_dim: int) -> Callable:
 
 
 class TorchLinear(nn.Module):
-    """Dense layer with torch Linear init; kernel stored (in, out)."""
+    """Dense layer with torch Linear init; kernel stored (in, out).
+
+    ``return_params=True`` materialises the parameters and hands them back
+    without computing (``x`` supplies only the input width) — used by
+    fused-kernel paths that consume the raw weights (ops/ln_matmul_pallas).
+    """
 
     features: int
     use_bias: bool = True
     zero_bias: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params=False):
         fan_in = x.shape[-1]
         kernel = self.param(
             "kernel", torch_uniform_init(fan_in), (fan_in, self.features)
         )
-        y = x @ kernel.astype(x.dtype)
         if self.use_bias:
             if self.zero_bias:
                 bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -55,6 +59,12 @@ class TorchLinear(nn.Module):
                 bias = self.param(
                     "bias", torch_uniform_init(fan_in), (self.features,)
                 )
+        else:
+            bias = None
+        if return_params:
+            return kernel, bias
+        y = x @ kernel.astype(x.dtype)
+        if bias is not None:
             y = y + bias.astype(x.dtype)
         return y
 
@@ -85,20 +95,32 @@ class TorchConv(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the last axis, torch affine defaults (ones/zeros)."""
+    """LayerNorm over the last axis, torch affine defaults (ones/zeros).
+
+    ``return_params=True`` materialises scale/bias and hands them back
+    without computing — used by fused-kernel paths (ops/ln_matmul_pallas).
+    """
 
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params=False):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        return (y * scale + bias).astype(x.dtype)
+        if return_params:
+            return scale, bias
+        return layer_norm_fn(x, scale, bias, self.eps)
+
+
+def layer_norm_fn(x, scale, bias, eps: float = 1e-6):
+    """The LayerNorm math (f32 statistics), shared by the module and the
+    fused-path fallbacks."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -122,14 +144,27 @@ class MultiHeadSelfAttention(nn.Module):
     sp_axis: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
+        # ln: optional (scale, bias) of the caller's pre-LN — fuses the
+        # LayerNorm into the qkv projection (ops/ln_matmul_pallas,
+        # forward-only); x is then the UN-normalised residual stream.
         B, L, E = x.shape
         hd = E // self.num_heads
         qkv_kernel = self.param(
             "qkv_kernel", xavier_uniform_packed_qkv(E), (E, 3 * E)
         )
         qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * E,))
-        qkv = x @ qkv_kernel.astype(x.dtype) + qkv_bias.astype(x.dtype)
+        if ln is not None:
+            from ..ops.ln_matmul_pallas import ln_matmul, ln_matmul_supported
+
+            if ln_matmul_supported(x):
+                qkv = ln_matmul(x, ln[0], ln[1], qkv_kernel, qkv_bias)
+            else:
+                h = layer_norm_fn(x, ln[0], ln[1])
+                qkv = (h @ qkv_kernel.astype(h.dtype)
+                       + qkv_bias.astype(h.dtype))
+        else:
+            qkv = x @ qkv_kernel.astype(x.dtype) + qkv_bias.astype(x.dtype)
         # token-major kernel is single-pass (keys VMEM-resident): beyond
         # L=4096 fall through to the head-major streaming kernel
         if (self.tokmaj and self.use_pallas and self.sp_axis is None

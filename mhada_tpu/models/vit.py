@@ -111,12 +111,17 @@ class EncoderBlock(nn.Module):
     attn_mode: str = "spatial"
     use_pallas: bool = False
     tokmaj: bool = False  # see MultiHeadSelfAttention.tokmaj
+    # fuse each pre-LN into its following matmul (ops/ln_matmul_pallas) —
+    # forward-only, TPU inference builds
+    fuse_ln: bool = False
     sp_axis: str | None = None  # see MultiHeadSelfAttention.sp_axis
 
     @nn.compact
     def __call__(self, x):
         # x: (B, N, C)
-        h = LayerNorm(name="ln1")(x)
+        from ..ops.ln_matmul_pallas import ln_matmul, ln_matmul_supported
+
+        ln1 = LayerNorm(name="ln1")
         attn = MultiHeadSelfAttention(
             self.num_heads,
             use_pallas=self.use_pallas and self.attn_mode == "spatial",
@@ -124,17 +129,27 @@ class EncoderBlock(nn.Module):
             sp_axis=self.sp_axis if self.attn_mode == "spatial" else None,
             name="attention",
         )
+        fuse = self.fuse_ln and self.sp_axis is None
         if self.attn_mode == "spatial":
-            h = attn(h)
+            if fuse:
+                h = attn(x, ln=ln1(x, return_params=True))
+            else:
+                h = attn(ln1(x))
         elif self.attn_mode == "batch_coupled":
             # Reference quirk: sequence axis = image batch. Treat tokens as
             # the batch and the image batch as the sequence.
-            h = attn(h.transpose(1, 0, 2)).transpose(1, 0, 2)
+            h = attn(ln1(x).transpose(1, 0, 2)).transpose(1, 0, 2)
         else:
             raise ValueError(f"unknown attn_mode: {self.attn_mode}")
         x = x + h
-        y = LayerNorm(name="ln2")(x)
-        y = TorchLinear(self.mlp_dim, name="mlp_fc1")(y)
+        ln2 = LayerNorm(name="ln2")
+        fc1 = TorchLinear(self.mlp_dim, name="mlp_fc1")
+        if fuse and ln_matmul_supported(x):
+            s2, b2 = ln2(x, return_params=True)
+            wk, wb = fc1(x, return_params=True)
+            y = ln_matmul(x, s2, b2, wk, wb)
+        else:
+            y = fc1(ln2(x))
         y = nn.relu(y)
         y = TorchLinear(x.shape[-1], name="mlp_fc2")(y)
         return x + y
@@ -155,6 +170,7 @@ class VisionTransformer(nn.Module):
     attn_mode: str = "spatial"
     use_pallas: bool = False
     tokmaj: bool = False  # see MultiHeadSelfAttention.tokmaj
+    fuse_ln: bool = False  # see EncoderBlock.fuse_ln (forward-only)
     # sequence parallelism (parallel/sp.py): the input rows — hence the
     # token grid's row axis — are sharded over this mesh axis inside
     # shard_map; attention all-gathers K/V, everything else is local.
@@ -187,6 +203,7 @@ class VisionTransformer(nn.Module):
                 attn_mode=self.attn_mode,
                 use_pallas=self.use_pallas,
                 tokmaj=self.tokmaj,
+                fuse_ln=self.fuse_ln,
                 sp_axis=self.sp_axis,
                 name=f"block{i}",
             )(tokens)

@@ -1,29 +1,35 @@
-"""Fused Pallas kernel for the decoder's 512^2 tail: c5 -> c6 in one pass.
+"""Transposed-stacked Pallas kernel for the decoder's last conv (c6).
 
-The final decoder stage (reference network/conv.py:92-93: two reflection-
-padded 3x3 ConvReLUs, 64->64 then 64->3, at full 512^2 resolution) is the
-single worst MXU fit in the model:
+The final decoder conv (reference network/conv.py:93: reflection-padded
+3x3, 64 -> 3 channels, at full 512^2 resolution) is the single worst MXU
+fit in the model: XLA pads the 3 output channels to 128 lanes, so the tiny
+conv costs as much as a full-width one (~0.34 ms/frame at ~5 TF/s on the
+col-packed path).
 
-- c5's 64 output channels fill half the 128 MXU lanes;
-- c6's 3 output channels fill 2% of them — XLA pads the output to 128
-  lanes, so the tiny conv costs as much as a full-width one.
+This kernel flips and stacks the geometry:
 
-This kernel runs the whole tail column-packed (ops/colpacked.py layout:
-(B, H, J, 2C), channel slot = vx*C + c) on row tiles resident in VMEM:
+- **transposed orientation**: instead of (pixels, Cin) @ (Cin, Cout) with
+  Cout=6 wasted lanes, compute (Cout, Cin) @ (Cin, pixels) — the tiny
+  output dim rides the MXU's sublane axis, the huge pixel count rides the
+  128-lane axis;
+- **stacked taps**: all 9 kernel taps' (8, 128) transposed weight blocks
+  stack into ONE (72, 128) lhs, so the whole conv is a single
+  (72, 128) @ (128, rows) matmul per row tile — no per-tap matmul drain.
+  The 9 (8, pixels) result stripes are then shift-added on the VPU (the
+  tap's (dy, ux) offset becomes a lane shift of dy*_JW + ux on the
+  flattened (row*_JW + col) pixel axis);
+- **manual-DMA input windows**: the padded c5 output stays in HBM
+  (pl.ANY); each grid step async-copies its overlapping (TH+3)-row window
+  into a double-buffered VMEM scratch slot, prefetching the next window
+  while computing the current one;
+- **no in-kernel boundary logic**: c6 consumes the reflection of the c5
+  OUTPUT (torch pads the produced feature map), which XLA pre-computes
+  with ``colpacked_reflect_pad`` — the kernel sees a fully padded input.
 
-- c5 as 9 accumulating (rows*cols, 128) @ (128, 128) taps of the 50%-dense
-  col-packed weights — full contraction depth AND full output lanes;
-- c6 TRANSPOSED: dot(W6_tap^T (8, 128), c5_tile (px, 128)) — the tiny
-  output dim lands on the MXU's 8-deep SUBLANE axis instead of its
-  128-wide lane axis, so the pad waste is 8/6 instead of 128/6.  The
-  (N, M) orientation trick makes c6 ~40x cheaper than XLA's conv;
-- the c5 intermediate never exists in HBM.
+Input is col-packed ((B, H, J, 2C) layout, ops/colpacked.py); output is
+channel-planar (8, pixels) per tile, unpacked to NHWC by an XLA epilogue.
 
-All shift arithmetic happens on 2D (rows*264, 128) flattenings whose row
-count is 8-divisible, so every reshape is layout-contiguous (no Mosaic
-relayout copies in the hot path).
-
-Element-exact vs the unpacked ConvReLU chain (tests/test_decoder_tail.py).
+Element-exact vs the unpacked ConvReLU (tests/test_decoder_tail.py).
 Forward-only — inference builds; training decodes through the XLA path.
 """
 
@@ -36,149 +42,113 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .colpacked import colpack_conv_weights, colpacked_reflect_pad
 
-# Padded packed-col width: 258 valid c5 columns (packed [-1, 256]) + junk
-# to the next multiple of 8 so 3D<->2D reshapes are tile-contiguous.
+# Padded packed-col width: 258 valid cols (packed [-1, 256]) + junk to the
+# next multiple of 8 so 3D<->2D reshapes are tile-contiguous.
 _JW = 264
 
 
-def _tail_kernel(x_ref, w5_ref, b5_ref, w6_ref, o_ref, *, c2: int, jv: int,
-                 n_tiles: int):
-    """x_ref: (1, 1, TH+6, _JW, 2C) slab (2 junk slack rows at the bottom
-    keep every shifted 2D slice in-bounds — the junk lands in wrap-around
-    pixels no kept output reads); w5: (3, 3, 2C, 2C) col-packed; b5:
-    (1, 2C); w6: (3, 3, 8, 2C) transposed col-packed (out rows padded
-    6->8); o: (1, 8, TH, _JW) channel-planar c6 output (pre-bias/relu).
-
-    c6 consumes the REFLECTION OF THE C5 OUTPUT at the image boundary
-    (torch pads the produced feature map), which differs from evaluating
-    c5 on reflect-padded input — so the c5 halo entries are overwritten
-    with their reflected interior counterparts before the c6 taps.
+def _c6_kernel(x_hbm, w_ref, o_ref, xbuf, sem, *, th: int, n_tiles: int):
+    """Grid: 1D over b*n_tiles (sequential — the double buffer carries DMA
+    state across steps).  x_hbm: (B, H+3, _JW, 2C) padded c5 output in
+    HBM (1 reflect row per side + 1 junk slack row at the bottom; junk
+    cols zero); xbuf: (2, TH+3, _JW, 2C) VMEM scratch; w: (72, 2C)
+    stacked transposed col-packed weights (9 taps x 8 padded out-rows);
+    o: (1, 1, 8, TH*_JW) channel-planar output (pre-bias/relu).
     """
     f32 = jnp.float32
-    c = c2 // 2
-    th6 = x_ref.shape[2]
-    th = th6 - 6
-    x2d = x_ref[0, 0].reshape(th6 * _JW, c2)
+    g = pl.program_id(0)
 
-    # ---- c5: 9 shifted full-tile taps, accumulate in f32.
-    # The ux shift is applied to the INPUT (2 small relayout copies); the
-    # remaining res slices are at dy*_JW — sublane-aligned (264 % 8 == 0),
-    # so they are free.  Slicing res by dy*_JW+ux directly costs 18
-    # misaligned relayouts of the full f32 tile (~40 MB VMEM copies/tile,
-    # measured slower than the unfused XLA path).
-    nc5 = (th + 3) * _JW
-    nrows = th6 * _JW - 2
-    acc5 = jnp.zeros((nc5, c2), f32)
-    for ux in range(3):
-        xs = jax.lax.slice(x2d, (ux, 0), (ux + nrows, c2))
-        for dy in range(3):
-            res = jax.lax.dot_general(
-                xs, w5_ref[dy, ux],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            off = dy * _JW
-            acc5 = acc5 + jax.lax.slice(res, (off, 0), (off + nc5, c2))
-    c5k = jnp.maximum(acc5 + b5_ref[0], 0.0).reshape(th + 3, _JW, c2)
+    def window_dma(slot, gg):
+        return pltpu.make_async_copy(
+            x_hbm.at[gg // n_tiles, pl.ds((gg % n_tiles) * th, th + 3)],
+            xbuf.at[slot],
+            sem.at[slot],
+        )
 
-    # ---- boundary fixups: reflect-of-output halos
-    # cols (every tile): orig col -1 := col 1 (packed col 0's vx1 slot);
-    # orig col 2j := col 2j-2 (packed col j's vx0 slot).  Lane-dim merges
-    # via masked select (Mosaic cannot concat offset lane slices).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (th + 3, c2), 1)
-    col0 = jnp.where(lane >= c, c5k[:, 1], c5k[:, 0])
-    colr = jnp.where(lane >= c, c5k[:, jv + 1], c5k[:, jv])
-    c5k = jnp.concatenate(
-        [col0[:, None], c5k[:, 1:jv + 1], colr[:, None], c5k[:, jv + 2:]],
-        axis=1)
-    # rows (boundary tiles only): orig row -1 := 1; orig row H := H-2
-    t = pl.program_id(1)
-    row0 = jnp.where(t == 0, c5k[2], c5k[0])
-    rowl = jnp.where(t == n_tiles - 1, c5k[th - 1], c5k[th + 1])
-    c5k = jnp.concatenate(
-        [row0[None], c5k[1:th + 1], rowl[None], c5k[th + 2:]], axis=0)
-    c5b = c5k.reshape(nc5, c2).astype(x2d.dtype)
+    @pl.when(g == 0)
+    def _():
+        window_dma(0, 0).start()
 
-    # ---- c6 transposed: dot(W^T (8, 2C), c5 (px, 2C)) -> (8, px).
-    # Shifts applied to c5 rows pre-dot (ux on the input, dy*_JW aligned),
-    # so each tap lands exactly on the accumulator — no lane slicing.
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        window_dma((g + 1) % 2, g + 1).start()
+
+    window_dma(g % 2, g).wait()
+    c2 = x_hbm.shape[-1]
+    x2d = xbuf[g % 2].reshape((th + 3) * _JW, c2)
+
+    # one full-width matmul: (72, 2C) @ (2C, (TH+3)*_JW)
+    res = jax.lax.dot_general(
+        w_ref[:], x2d,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (72, (TH+3)*_JW)
+
+    # tap (dy, ux)'s stripe, lane-shifted by its flattened pixel offset:
+    # out(r, m) = sum_taps w[dy, ux] . xpad(r + dy, m + ux)
     nc6 = th * _JW
-    acc6 = jnp.zeros((8, nc6), f32)
-    for ux in range(3):
-        c5s = jax.lax.slice(c5b, (ux, 0), (ux + nc5 - 2, c2))
-        for dy in range(3):
-            c5sd = jax.lax.slice(
-                c5s, (dy * _JW, 0), (dy * _JW + nc6, c2))
-            acc6 = acc6 + jax.lax.dot_general(
-                w6_ref[dy, ux].astype(x2d.dtype), c5sd,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            )
-    # keep 2D: Mosaic cannot shape-cast the lane dim; XLA unflattens
-    o_ref[0, 0] = acc6.astype(o_ref.dtype)
+    acc = jnp.zeros((8, nc6), f32)
+    for tap in range(9):
+        dy, ux = divmod(tap, 3)
+        off = dy * _JW + ux
+        acc = acc + jax.lax.slice(
+            res, (tap * 8, off), (tap * 8 + 8, off + nc6))
+    o_ref[0, 0] = acc
 
 
-def decoder_tail_fused(up_cp, w5, b5, w6, b6):
-    """Fused c5+c6 on the col-packed upsampled tensor.
+def c6_transposed(y_cp, w6, b6, row_tile: int | None = None):
+    """The decoder's final conv on the col-packed c5 output.
 
-    up_cp: (B, H, J, 2C) col-packed 512^2-stage input (output of
-    ``upsample2x_colpacked``), C=w5 input channels; w5: (3, 3, C, C);
-    w6: (3, 3, C, 3).  Returns (B, H, 2J, 3) NHWC after both ReLUs —
-    exactly ``ConvReLU(c6)(ConvReLU(c5)(col_to_space(up_cp)))``.
+    y_cp: (B, H, J, 2C) col-packed c5 activations (C = 64); w6:
+    (3, 3, C, 3) original conv weights; b6: (3,).  Returns (B, H, 2J, 3)
+    NHWC after bias + ReLU — exactly ``ConvReLU(c6)(col_to_space(y_cp))``.
     """
-    b, h, j, c2 = up_cp.shape
-    # f32 doubles every VMEM buffer: halve the row tile
-    _TH = 8 if up_cp.dtype.itemsize > 2 else 16
+    b, h, j, c2 = y_cp.shape
+    _TH = row_tile or next(t for t in (32, 16, 8, 4, 2, 1) if h % t == 0)
     assert h % _TH == 0 and c2 == 128, (h, c2)
     n_tiles = h // _TH
-    dt = up_cp.dtype
+    dt = y_cp.dtype
 
-    # rows: pad 2 original pixels; packed cols: pad 2 PACKED cols per side
-    # (the outermost one feeds only the chain's discarded halo phase — the
-    # col-packed weight structure never weights its slots for kept
-    # outputs); then junk-pad the col axis to _JW so in-kernel reshapes
-    # are tile-contiguous
-    xp = colpacked_reflect_pad(up_cp, pad=2, pcols=2)  # (B, h+4, j+4, 2C)
-    xp = jnp.pad(
-        xp, ((0, 0), (0, 2), (0, _JW - (j + 4)), (0, 0)))  # slack rows/cols
-    # overlapping row slabs: tile t needs padded rows [t*TH, t*TH + TH+6)
-    slabs = jnp.stack(
-        [xp[:, t * _TH: t * _TH + _TH + 6] for t in range(n_tiles)], axis=1
-    )  # (B, n_tiles, TH+6, _JW, 2C)
+    # reflect-of-output padding in XLA (cheap: one extra row/col each
+    # side), junk-pad cols to _JW and add 1 slack row so every lane-shifted
+    # slice in the kernel stays in-bounds (wrap-around reads land in junk
+    # no kept output uses)
+    xp = colpacked_reflect_pad(y_cp, pad=1, pcols=1)  # (B, h+2, j+2, 2C)
+    xp = jnp.pad(xp, ((0, 0), (0, 1), (0, _JW - (j + 2)), (0, 0)))
 
-    w5p = colpack_conv_weights(w5).astype(dt)          # (3, 3, 2C, 2C)
-    b5p = jnp.tile(b5, 2).astype(jnp.float32)[None]    # (1, 2C)
     w6p = colpack_conv_weights(w6)                     # (3, 3, 2C, 6)
-    w6t = jnp.pad(w6p.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, 2), (0, 0)))
+    w6t = jnp.pad(w6p.transpose(0, 1, 3, 2),
+                  ((0, 0), (0, 0), (0, 2), (0, 0)))    # (3, 3, 8, 2C)
+    w_stacked = w6t.reshape(72, c2).astype(dt)
 
     out = pl.pallas_call(
-        functools.partial(_tail_kernel, c2=c2, jv=j, n_tiles=n_tiles),
-        grid=(b, n_tiles),
+        functools.partial(_c6_kernel, th=_TH, n_tiles=n_tiles),
+        grid=(b * n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, _TH + 6, _JW, c2),
-                         lambda i, t: (i, t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c2, c2), lambda i, t: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), lambda i, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, 8, c2), lambda i, t: (0, 0, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, DMA'd
+            pl.BlockSpec((72, c2), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 8, _TH * _JW),
-                               lambda i, t: (i, t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, _TH * _JW),
+            lambda g, n=n_tiles: (g // n, g % n, 0, 0),
+            memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles, 8, _TH * _JW),
                                        jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, _TH + 3, _JW, c2), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            # sequential grid: the double buffer carries DMA state
+            dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * _JW * 9 * c2 * (c2 + 8),
+            flops=2 * b * h * _JW * 72 * c2,
             bytes_accessed=2 * b * h * _JW * c2 + 4 * b * 8 * h * _JW,
             transcendentals=0,
         ),
-    )(slabs, w5p, b5p, w6t.astype(dt))
+    )(xp, w_stacked)
 
     # (B, n_tiles, 8, TH*_JW) -> channel-planar (B, 8, H, _JW) -> NHWC
     # (B, H, 2J, 3): channel = dx*3 + rgb, junk cols >= j sliced off

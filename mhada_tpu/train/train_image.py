@@ -55,12 +55,14 @@ def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
             num_heads=m.num_heads, hidden_dim=m.hidden_dim,
             mlp_dim=m.mlp_dim, pos_embedding=True, attn_mode=m.attn_mode,
             use_pallas=use_pallas, tokmaj=not for_training,
+            fuse_ln=use_pallas and not for_training,
         ),
         "vit_s": VisionTransformer(
             patch_size=m.patch_size, num_layers=m.num_layers,
             num_heads=m.num_heads, hidden_dim=m.hidden_dim,
             mlp_dim=m.mlp_dim, pos_embedding=False, attn_mode=m.attn_mode,
             use_pallas=use_pallas, tokmaj=not for_training,
+            fuse_ln=use_pallas and not for_training,
         ),
         "adaFormer": AdaFormer(
             num_layers=m.num_layers, num_heads=m.num_heads,

@@ -37,15 +37,23 @@ def save_image(path: str, arr: np.ndarray) -> None:
     Image.fromarray(a.astype(np.uint8)).save(path)
 
 
-def cv2_to_tensor(img: np.ndarray, resize: Optional[Tuple[int, int]] = None) -> np.ndarray:
+def cv2_to_tensor(
+    img: np.ndarray,
+    resize: Optional[Tuple[int, int]] = None,
+    keep_uint8: bool = False,
+) -> np.ndarray:
     """BGR frame (cv2) -> float32 RGB HWC 0-255, optional INTER_AREA resize
-    to (width, height) — reference utilities.py:43-52."""
+    to (width, height) — reference utilities.py:43-52.
+
+    ``keep_uint8`` skips the float conversion (values are integral either
+    way): the transcode path ships uint8 over the host->device link and
+    casts on-chip — 4x less transfer on a tunnel-attached TPU."""
     import cv2
 
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if resize is not None:
         img = cv2.resize(img, resize, interpolation=cv2.INTER_AREA)
-    return img.astype(np.float32)
+    return img if keep_uint8 else img.astype(np.float32)
 
 
 def list_files(directory: str):

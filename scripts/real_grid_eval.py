@@ -12,11 +12,15 @@ every metric computable without pretrained backbone weights
 weight-needing columns lpips/sifid/gram are NaN — torchvision pretrained
 trunks are not obtainable in this sandbox).
 
-Weights are the seeded smoke initialisation (the reference ships no trained
-checkpoint; models/ is gitignored upstream) — the artifact's value is the
-protocol run on real photographs: real JPEG codec path, real pixel
-statistics, recorded metric distributions.  Provenance is stamped into
-artifacts/real_grid_README.md.
+Weights are a seeded smoke initialisation (the reference ships no trained
+checkpoint; models/ is gitignored upstream) with the decoder re-weighted
+to gain-controlled identity+mixing kernels — raw random init attenuates
+through the 9-conv ReLU chain to an all-black output (every metric
+degenerate); the mixing weights keep outputs mid-range and
+content-dependent, so the recorded metric distributions actually vary
+per pair.  The artifact's value is the protocol run on real photographs:
+real JPEG codec path, real pixel statistics, recorded metric
+distributions.  Provenance is stamped into artifacts/real_grid_README.md.
 
 Usage: python scripts/real_grid_eval.py [--limit-styles N] [--out DIR]
 """
@@ -33,6 +37,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 REF = "/root/reference/MHAdaSTr"
+
+
+def mixing_decoder_params(params, seed=7):
+    """Identity-centre-tap + small mixing-noise decoder weights (the
+    tests/test_sp.py trick): keeps outputs mid-range instead of the
+    all-black raw-random-init result."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def mix(leaf):
+        a = np.asarray(leaf)
+        if a.ndim == 4:  # (3, 3, ci, co) conv kernel
+            ci, co = a.shape[2], a.shape[3]
+            amp = 1.0 / (3.0 * np.sqrt(ci))
+            k = rng.uniform(-amp, amp, a.shape).astype(np.float32)
+            for o in range(co):
+                k[1, 1, o % ci, o] += 1.0
+            return jnp.asarray(k)
+        return jnp.full_like(leaf, 0.05)  # bias
+
+    params = dict(params)
+    params["adaFormer"] = dict(params["adaFormer"])
+    params["adaFormer"]["decoder"] = jax.tree_util.tree_map(
+        mix, params["adaFormer"]["decoder"])
+    return params
 FIELDNAMES = [
     "content", "style", "lpips_content", "ssim_content", "sifid_content",
     "kl_c", "lpips_style", "ssim_style", "sifid_style", "kl_s", "gram",
@@ -72,7 +103,8 @@ def main():
           file=sys.stderr)
 
     models = build_models(ModelConfig())
-    params = init_inference_params(models, jax.random.PRNGKey(0), size)
+    params = mixing_decoder_params(
+        init_inference_params(models, jax.random.PRNGKey(0), size))
     encode = make_encode_style_fn(models, dtype)
     stylize = make_stylize_with_fs_fn(models, dtype)
 
@@ -145,10 +177,11 @@ def main():
             f"- inputs: the reference's bundled demo JPEGs "
             f"({REF}/contents, {REF}/styles — the only real photographs "
             "in the sandbox)\n"
-            "- weights: seeded smoke init (upstream ships no trained "
-            "checkpoint; models/ is gitignored there) — metric values "
-            "characterise the PROTOCOL on real images, not stylization "
-            "quality\n"
+            "- weights: seeded smoke init with gain-controlled mixing "
+            "decoder kernels (upstream ships no trained checkpoint; "
+            "models/ is gitignored there; raw random init attenuates to "
+            "an all-black output) — metric values characterise the "
+            "PROTOCOL on real images, not stylization quality\n"
             "- columns lpips/sifid/gram are NaN: they need torchvision "
             "pretrained trunks, not obtainable with zero egress\n"
             f"- backend: {jax.devices()[0].platform}, "

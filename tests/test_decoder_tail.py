@@ -1,4 +1,4 @@
-"""Fused Pallas decoder tail (c5+c6) vs the unpacked ConvReLU chain."""
+"""Transposed-stacked Pallas c6 kernel vs the unpacked ConvReLU chain."""
 
 import numpy as np
 import jax
@@ -6,29 +6,22 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 from mhada_tpu.ops.colpacked import space_to_col
-from mhada_tpu.ops.decoder_tail_pallas import decoder_tail_fused
+from mhada_tpu.ops.decoder_tail_pallas import c6_transposed
 from mhada_tpu.ops.pad_conv import conv2d_reflect
 
 RNG = np.random.default_rng(7)
 
 
-def _ref_tail(up, w5, b5, w6, b6):
-    y = jnp.maximum(conv2d_reflect(up, w5, b5), 0)
-    return jnp.maximum(conv2d_reflect(y, w6, b6), 0)
-
-
-def test_decoder_tail_fused_exact():
+def test_c6_transposed_exact():
     for b, h, w in ((1, 32, 24), (2, 48, 16)):
-        up = jnp.asarray(RNG.standard_normal((b, h, w, 64)), jnp.float32)
-        w5 = jnp.asarray(RNG.standard_normal((3, 3, 64, 64)) * 0.1,
-                         jnp.float32)
-        b5 = jnp.asarray(RNG.standard_normal((64,)), jnp.float32)
+        y = jnp.asarray(np.abs(RNG.standard_normal((b, h, w, 64))),
+                        jnp.float32)
         w6 = jnp.asarray(RNG.standard_normal((3, 3, 64, 3)) * 0.1,
                          jnp.float32)
         b6 = jnp.asarray(RNG.standard_normal((3,)), jnp.float32)
-        ref = _ref_tail(up, w5, b5, w6, b6)
+        ref = jnp.maximum(conv2d_reflect(y, w6, b6), 0)
         with pltpu.force_tpu_interpret_mode():
-            got = decoder_tail_fused(space_to_col(up), w5, b5, w6, b6)
+            got = c6_transposed(space_to_col(y), w6, b6)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4, rtol=1e-4)
 
