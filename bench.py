@@ -13,6 +13,7 @@ vs_baseline is vs the driver target of 100 fps/chip (BASELINE.json).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -83,7 +84,9 @@ def kernel_parity_gate():
     cases = (
         (jnp.float32, 0.35, 5e-3, None),
         (jnp.float32, 1.0, None, 2e-2),
-        (jnp.bfloat16, 0.35, 1e-1, None),
+        # bound tightened 1e-1 -> 3e-2 (VERDICT r2 #8); measured 1.58e-2
+        # r2, 1.6e-2 r3.
+        (jnp.bfloat16, 0.35, 3e-2, None),
     )
     for dtype, scale, max_bound, mean_bound in cases:
         q, k, v, f = make(dtype, scale)
@@ -125,6 +128,61 @@ def kernel_parity_gate():
     gf = 2 * 8 * n2 * m2 * d * 3 / 1e9
     print(f"streaming MHAda @ 1024^2 (M={m2}): {dt*1e3:.1f} ms/call, "
           f"{gf/dt/1e3:.2f} TFLOP/s", file=sys.stderr)
+
+
+def _write_test_clip(path, h=512, w=512, n_frames=192, fps=30.0):
+    """Synthetic mp4 clip (smooth moving gradients — compresses/decodes like
+    real footage, unlike noise) for the sustained-transcode protocol."""
+    import cv2
+
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for t in range(n_frames):
+        img = np.stack(
+            [
+                127 + 120 * np.sin(xx / 40 + t / 5.0),
+                127 + 120 * np.sin(yy / 33 - t / 7.0),
+                127 + 120 * np.sin((xx + yy) / 57 + t / 11.0),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        vw.write(img)
+    vw.release()
+    return n_frames
+
+
+def transcode_bench(models, params, style_np, chunk=8):
+    """Sustained end-to-end transcode fps (VERDICT r2 #2): the real
+    infer/video.py chunked path on a generated mp4 — host video decode,
+    uint8 host->device transfer, stylize, uint8 device->host readback of
+    every frame (JPEG re-encode excluded; see infer/video.py write_jpegs).
+
+    Compile + warmup run on the clip head via the session dict; the timed
+    pass streams the whole clip.
+    """
+    import tempfile
+
+    from mhada_tpu.infer.video import stream_stylize
+
+    tmp = tempfile.mkdtemp(prefix="mhada_bench_")
+    clip = os.path.join(tmp, "clip.mp4")
+    n_frames = _write_test_clip(clip)
+    out_dir = os.path.join(tmp, "out")
+    kw = dict(
+        size_hw=(512, 512), dtype=jnp.bfloat16, chunk=chunk,
+        write_mp4=False, write_jpegs=False,
+    )
+    session = {}
+    stream_stylize(params, models, clip, style_np, out_dir,
+                   max_frames=3 * chunk, session=session, **kw)
+    t0 = time.perf_counter()
+    n = stream_stylize(params, models, clip, style_np, out_dir,
+                       session=session, **kw)
+    fps = n / (time.perf_counter() - t0)
+    assert n == n_frames, (n, n_frames)
+    print(f"sustained transcode (decode+H2D+stylize+D2H, {n} frames, "
+          f"chunk {chunk}): {fps:.2f} fps", file=sys.stderr)
+    return fps
 
 
 def main():
@@ -228,6 +286,67 @@ def main():
           f"max={kv_max:.2e} rel_mean={kv_rel:.2e}", file=sys.stderr)
     assert kv_rel < 2e-2, f"fast-path parity FAILED: rel_mean {kv_rel}"
 
+    # Same e2e comparison at REALISTIC logit scale with a MAX bound
+    # (VERDICT r2 #8): smoke-init Q/K projections of unit-variance IN'd
+    # features give unscaled-softmax logits of std ~3 (saturated, max error
+    # meaningless — see kernel_parity_gate docstring).  Scaling the f/g
+    # kernels by 1/sqrt(3) puts logits at std ~1, the trained-weight-like
+    # regime, where elementwise max error is a real signal.
+    def scale_qk(p, s):
+        pa = {}
+        for name, blk in p["adaFormer"].items():
+            if name.startswith("ada") and "f_kernel" in blk:
+                blk = dict(blk)
+                blk["f_kernel"] = blk["f_kernel"] * s
+                blk["g_kernel"] = blk["g_kernel"] * s
+            pa[name] = blk
+        return {**p, "adaFormer": pa}
+
+    params_rs = commit_to_device(scale_qk(params, 1.0 / np.sqrt(3.0)))
+    # KV derived from f32 style features so both sides of the comparison
+    # are f32 (a bf16-encoded cache folds dtype noise into a structural
+    # gate — measured max 0.77 from argmax flips).
+    fs_rs = jax.jit(
+        lambda p, s: models["vit_s"].apply({"params": p["vit_s"]}, s)
+    )(params_rs, style)
+    kv_rs = precompute_style_kv(models, params_rs, fs_rs)
+    rs_max, rs_rel = (float(x) for x in
+                      kv_path_err(params_rs, contents[0], style, kv_rs))
+    print(f"KV-cached 6-block chain at logit std ~1 (f32): max={rs_max:.2e} "
+          f"rel_mean={rs_rel:.2e}", file=sys.stderr)
+    assert rs_rel < 1e-2, f"fast-path parity FAILED: rel_mean {rs_rel}"
+
+    # Elementwise MAX is only a stable statistic per block: the 6-block
+    # chain of instance norms + UNSCALED softmax amplifies the ~1e-3
+    # single-kernel f32 error chaotically (measured chain max 0.59 at
+    # logit std ~1 while rel_mean stays 3e-3).  Gate the fast path's
+    # structure (fused prologue + token-major KV cache vs the plain
+    # head-major block) with a tight max on ada0 alone.
+    from mhada_tpu.models.adaformer import AdaAttnMultiHead
+
+    blk_fused = AdaAttnMultiHead(use_pallas=True, fuse_prologue=True)
+    blk_plain = AdaAttnMultiHead(use_pallas=True)
+
+    @jax.jit
+    def block_err(p, content, kv0):
+        fc = models["vit_c"].apply({"params": p["vit_c"]}, content)
+        b, h, w, c = fc[0].shape
+        fct = fc[0].reshape(b, h * w, c)
+        fst = fs_rs[0].reshape(b, h * w, c)
+        pa0 = {"params": p["adaFormer"]["ada0"]}
+        out_f = blk_fused.apply(pa0, fct, None, fct, kv0)
+        out_p = blk_plain.apply(pa0, fct, fst, fct)
+        e = jnp.abs(out_f - out_p)
+        return jnp.max(e), jnp.mean(e) / jnp.mean(jnp.abs(out_p))
+
+    blk_max, blk_rel = (float(x) for x in
+                        block_err(params_rs, contents[0], kv_rs[0]))
+    print(f"single-block fused-prologue vs plain (logit std ~1, f32): "
+          f"max={blk_max:.2e} rel_mean={blk_rel:.2e}", file=sys.stderr)
+    assert blk_max < 1e-1, f"fast-path block max parity FAILED: {blk_max}"
+    # measured r3: blk_max 4.5e-2, blk_rel 3.1e-5 — the max sits on
+    # argmax-adjacent rows of the unscaled softmax; 2x headroom.
+
     kv = commit_to_device([
         (jnp.tile(k, (CHUNK, 1, 1)), jnp.tile(v, (CHUNK, 1, 1)))
         for k, v in kv
@@ -246,6 +365,39 @@ def main():
         _ = float(s)
         windows.append(n_chunks * CHUNK / (time.perf_counter() - t0))
     fps = float(np.median(windows))
+
+    # Sustained end-to-end transcode (host decode + transfers included).
+    style_np = np.asarray(rng.uniform(0, 255, (512, 512, 3)), np.float32)
+    transcode_fps = transcode_bench(models, params, style_np)
+
+    # 1024^2 as a first-class measured path (VERDICT r2 #5): same streaming
+    # protocol (style KV hoisted), flash key-streaming kernels engage
+    # automatically beyond M=4096 tokens.
+    CHUNK_1K = 4
+    style_1k = commit_to_device(
+        jnp.asarray(rng.uniform(0, 255, (1, 1024, 1024, 3)), jnp.float32)
+    )
+    kv_1k = precompute_style_kv(models, params, encode(params, style_1k))
+    kv_1k = commit_to_device([
+        (jnp.tile(k, (CHUNK_1K, 1, 1)), jnp.tile(v, (CHUNK_1K, 1, 1)))
+        for k, v in kv_1k
+    ])
+    frames_1k = commit_to_device(
+        jnp.asarray(rng.uniform(0, 255, (CHUNK_1K, 1024, 1024, 3)),
+                    jnp.float32)
+    )
+    s = stylize_chunk(params, frames_1k, kv_1k)
+    _ = float(s)
+    win_1k = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for _i in range(3):
+            s = stylize_chunk(params, frames_1k, kv_1k)
+        _ = float(s)
+        win_1k.append(3 * CHUNK_1K / (time.perf_counter() - t0))
+    fps_1k = float(np.median(win_1k))
+    print(f"1024^2 streaming (chunk {CHUNK_1K}): {fps_1k:.2f} fps "
+          f"({1e3 / fps_1k:.1f} ms/frame)", file=sys.stderr)
 
     # MFU: compiled-graph FLOPs per frame (XLA cost analysis) over the v5e
     # peak (197 TFLOP/s bf16).  Falls back to the judge-measured 0.64 TF if
@@ -269,6 +421,8 @@ def main():
                 "unit": "fps",
                 "vs_baseline": round(fps / TARGET_FPS, 3),
                 "mfu": round(mfu, 3),
+                "sustained_transcode_fps": round(transcode_fps, 2),
+                "fps_1024": round(fps_1k, 2),
             }
         )
     )

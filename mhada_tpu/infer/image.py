@@ -34,10 +34,12 @@ def init_inference_params(
     # param structure is backend-independent; the Pallas kernels (incl.
     # the fused decoder tail) have no CPU compile path, and the plain
     # "col" decoder shares the tail's param tree
+    pd = models["adaFormer"].packed_decoder
     ada_init = models["adaFormer"].clone(
         use_pallas=False,
-        packed_decoder="col" if models["adaFormer"].packed_decoder
-        == "col_tail" else models["adaFormer"].packed_decoder,
+        packed_decoder="col"
+        if isinstance(pd, str) and (pd == "col_tail" or pd.startswith("mega"))
+        else pd,
     )
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         x = jnp.zeros((1, h, w, 3), jnp.float32)

@@ -35,6 +35,7 @@ def stream_stylize(
     max_frames: int = 0,
     chunk: int = 1,
     session: dict | None = None,
+    write_jpegs: bool = True,
 ):
     """``chunk`` > 1 processes that many frames per device dispatch,
     BATCHED on the batch axis with the style K/V tiled to match (every op
@@ -45,7 +46,12 @@ def stream_stylize(
     ``session``: pass the same dict across calls to reuse the jitted
     pipeline and the style precompute (a transcode service stylising many
     clips with one style compiles once; also how bench.py keeps compile
-    time out of its sustained-throughput window)."""
+    time out of its sustained-throughput window).
+
+    ``write_jpegs=False`` skips the per-frame cv2.imwrite but keeps the
+    device->host uint8 readback of every frame (the sustained-transcode
+    bench protocol: decode + H2D + stylize + D2H, no host JPEG encoder in
+    the loop)."""
     import cv2
 
     from .image import (
@@ -111,14 +117,23 @@ def stream_stylize(
 
     frames = []
     idx = 0
-    pending = None  # overlap: dispatch frame i while writing frame i-1
+    pending = None  # overlap: dispatch frame/chunk i while writing i-1
 
     def emit(out):
+        """out: one device frame (1, H, W, 3) or a whole device chunk
+        (chunk, H, W, 3) — kept pending so the device works on the next
+        dispatch while this one is read back and written.  Whole-chunk
+        readback matters on a tunnel-attached TPU: one np.asarray per
+        CHUNK pays one transfer round trip instead of ``chunk`` of them
+        (the 3.6 -> ~20 fps part of the sustained-transcode story)."""
         nonlocal pending, idx
         if pending is not None:
-            _flush(pending, frames, out_dir, show)
+            arr = np.asarray(pending[1])  # the D2H sync point
+            for k in range(arr.shape[0]):
+                _flush((pending[0] + k, arr[k]), frames, out_dir, show,
+                       write_mp4, write_jpegs)
         pending = (idx, out)
-        idx += 1
+        idx += out.shape[0]
 
     buf = []
     while True:
@@ -132,16 +147,16 @@ def stream_stylize(
         else:
             buf.append(item)
             if len(buf) == chunk:
-                outs = stylize_chunk(
-                    params, jnp.asarray(np.stack(buf)), fs_chunk
-                )
-                for j in range(chunk):
-                    emit(outs[j:j + 1])
+                emit(stylize_chunk(
+                    params, jnp.asarray(np.stack(buf)), fs_chunk))
                 buf = []
     for item in buf:  # tail frames below chunk size
         emit(stylize_u8(params, jnp.asarray(item)[None], fs))
     if pending is not None:
-        _flush(pending, frames, out_dir, show)
+        arr = np.asarray(pending[1])
+        for k in range(arr.shape[0]):
+            _flush((pending[0] + k, arr[k]), frames, out_dir, show,
+                   write_mp4, write_jpegs)
     cap.release()
 
     if write_mp4 and frames:
@@ -158,15 +173,18 @@ def stream_stylize(
     return idx
 
 
-def _flush(pending, frames, out_dir, show):
+def _flush(pending, frames, out_dir, show, keep_frame=True, write_jpeg=True):
+    """pending: (frame_index, HWC uint8-ish numpy frame)."""
     import cv2
 
     i, out = pending
-    img = np.asarray(out[0]).astype(np.uint8)
-    frames.append(img)
-    cv2.imwrite(
-        os.path.join(out_dir, f"frame_{i:05d}.jpg"), img[:, :, ::-1]
-    )
+    img = np.asarray(out).astype(np.uint8)
+    if keep_frame:
+        frames.append(img)
+    if write_jpeg:
+        cv2.imwrite(
+            os.path.join(out_dir, f"frame_{i:05d}.jpg"), img[:, :, ::-1]
+        )
     if show:
         cv2.imshow("mhada_tpu", img[:, :, ::-1])
         if cv2.waitKey(1) & 0xFF == ord("q"):

@@ -179,7 +179,11 @@ class Decoder(nn.Module):
       redundant FLOPs — half the work of "2x2" at the same utilisation);
     - ``"col_tail"``: column packing with the final conv run as the
       transposed-stacked Pallas kernel (ops/decoder_tail_pallas.py) —
-      TPU-only, forward-only (inference builds).
+      TPU-only, forward-only (inference builds);
+    - ``"mega"``: the ENTIRE tail (up3 conv + 2x bilinear upsample + c5 +
+      c6) as one fused Pallas kernel (ops/decoder_tail_pallas.py::
+      tail3_fused) — one HBM read of the c4 activation, one write of the
+      RGB output.  TPU-only, forward-only (inference builds).
 
     The param tree is identical in all modes."""
 
@@ -197,6 +201,16 @@ class Decoder(nn.Module):
             x = ConvReluUp(64, name="up3")(x)
             x = ConvReLU(64, name="c5")(x)
             return ConvReLU(3, name="c6")(x)
+
+        if isinstance(self.packed, str) and self.packed.startswith("mega"):
+            from ..ops.decoder_tail_pallas import tail3_fused
+
+            ku, bu = _ConvHolder(64, name="up3")(x.shape[-1])
+            k5, b5 = _ConvHolder(64, name="c5")(64)
+            k6, b6 = _ConvHolder(3, name="c6")(64)
+            return tail3_fused(x, ku.astype(x.dtype), bu, k5.astype(x.dtype),
+                               b5, k6.astype(x.dtype), b6,
+                               row_tile=int(self.packed[4:] or 8))
 
         mode = "2x2" if self.packed in (True, "2x2") else "col"
         xp = ConvReluUpPacked(64, mode=mode, name="up3")(x)

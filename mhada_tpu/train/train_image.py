@@ -67,10 +67,13 @@ def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
         "adaFormer": AdaFormer(
             num_layers=m.num_layers, num_heads=m.num_heads,
             activation=m.activation, use_pallas=use_pallas,
-            # "col_tail" (fused Pallas c5+c6) exists but measures ~0.3 ms
-            # slower than XLA's col path at B=8 (slab materialisation +
-            # halo overhead, see PERF.md) — "col" stays the default
-            packed_decoder="col" if use_pallas else False,
+            # inference: the fused up3+c5+c6 megakernel ("mega",
+            # ops/decoder_tail_pallas.py::tail3_fused, forward-only,
+            # 2.23 vs 2.64 ms/frame decoder time at B=8 512^2);
+            # training: XLA col packing (differentiable)
+            packed_decoder=(
+                ("col" if for_training else "mega") if use_pallas
+                else False),
             # fused IN+Q-projection prologue is forward-only (no VJP) —
             # inference builds only; it engages on the KV-cached path.
             fuse_prologue=use_pallas and not for_training,

@@ -54,19 +54,28 @@ def main():
     for name, dec in (
         ("col", Decoder(packed="col")),
         ("col_tail", Decoder(packed="col_tail")),
+        ("mega", Decoder(packed="mega")),
+        ("mega16", Decoder(packed="mega16")),
     ):
         fn = jax.jit(lambda p, x, d=dec: d.apply(p, x))
-        dt_s = timeit(fn, params, x0, iters=args.iters)
+        try:
+            dt_s = timeit(fn, params, x0, iters=args.iters)
+        except Exception as e:
+            print(f"{name:10s}: FAILED {str(e)[:120]}")
+            continue
         outs[name] = np.asarray(jax.device_get(
             fn(params, x0)).astype(jnp.float32))
         results[name] = dt_s
         print(f"{name:10s}: {dt_s * 1e3:7.2f} ms/call "
               f"({dt_s * 1e3 / B:5.2f} ms/frame)")
 
-    err = np.abs(outs["col"] - outs["col_tail"]).max()
-    print(f"max |col - col_tail| = {err:.3e}")
-    print(f"delta: {(results['col'] - results['col_tail']) * 1e3 / B:+.3f} "
-          f"ms/frame in favour of col_tail")
+    for name in outs:
+        if name == "col":
+            continue
+        err = np.abs(outs["col"] - outs[name]).max()
+        print(f"max |col - {name}| = {err:.3e}; delta "
+              f"{(results['col'] - results[name]) * 1e3 / B:+.3f} "
+              f"ms/frame in favour of {name}")
 
 
 if __name__ == "__main__":
