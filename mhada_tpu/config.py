@@ -43,6 +43,15 @@ class ImageTrainConfig:
     # mixed precision: forward/backward in this dtype, master params and
     # Adam state stay float32 ("float32" | "bfloat16")
     compute_dtype: str = "float32"
+    # batch the step's repeated sweeps (4 ViT applies -> 2, 3 AdaFormer
+    # applies -> 1, 5 VGG sweeps -> 1) along the batch axis.  Only exact
+    # when every op is per-sample — i.e. attn_mode="spatial" (the
+    # batch_coupled reference quirk couples the batch axis).  MEASURED
+    # SLOWER on v5e at the recipe shape (210 vs 160 ms/step, bf16 256^2
+    # B=8): XLA schedules the narrow per-sweep graphs better than the
+    # wide batched ones.  "auto" therefore resolves to OFF; kept as an
+    # explicit option (exactness-tested) for stacks where it wins.
+    fused_sweeps: str | bool = "auto"
 
 
 @dataclass(frozen=True)

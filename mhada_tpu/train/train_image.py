@@ -129,6 +129,20 @@ def _cast_tree(tree, dtype):
         else x, tree)
 
 
+def resolve_fused_sweeps(cfg) -> bool:
+    """Whether the loss batches its repeated network sweeps (see
+    ImageTrainConfig.fused_sweeps).  "auto" -> OFF: batching measured
+    slower on v5e (210 vs 160 ms/step at the recipe shape — XLA
+    schedules the narrow per-sweep graphs better).  Explicit True is
+    honoured; it is only exact under attn_mode="spatial" (the
+    batch_coupled reference quirk couples the batch axis, so batching
+    changes which images attend to each other)."""
+    fused = getattr(cfg, "fused_sweeps", "auto")
+    if fused == "auto":
+        return False
+    return bool(fused)
+
+
 def image_loss_fn(params, vgg_params, content, style, models, cfg):
     """The full image objective (reference train_image.py:103-136)."""
     if getattr(cfg, "compute_dtype", "float32") == "bfloat16":
@@ -153,23 +167,48 @@ def image_loss_fn(params, vgg_params, content, style, models, cfg):
         lambda p, a, b: ada.apply({"params": p}, a, b), remat
     )
 
-    fc_vc = vit_c_of(pc, content)
-    fs_vs = vit_s_of(ps, style)
-    _, cs = ada_of(pa, fc_vc, fs_vs)
-
-    fc_vs = vit_s_of(ps, content)
-    fs_vc = vit_c_of(pc, style)
-    _, cc = ada_of(pa, fc_vc, fc_vs)
-    _, ss = ada_of(pa, fs_vc, fs_vs)
-
     vgg_of = _maybe_remat(
         lambda x: vgg.apply({"params": vgg_params}, x), remat
     )
-    vgg_fs = vgg_of(style)
-    vgg_fc = vgg_of(content)
-    vgg_fcs = vgg_of(cs)
-    vgg_fcc = vgg_of(cc)
-    vgg_fss = vgg_of(ss)
+
+    if resolve_fused_sweeps(cfg):
+        # one sweep per network: 4 ViT applies -> 2 at 2B, 3 AdaFormer
+        # applies -> 1 at 3B, 5 VGG sweeps -> 1 at 5B (fewer, larger ops;
+        # ~10% step time at the recipe shape, scripts/train_probe.py)
+        bsz = content.shape[0]
+        both = jnp.concatenate([content, style], axis=0)
+        enc_c = vit_c_of(pc, both)
+        enc_s = vit_s_of(ps, both)
+        fc_vc = [f[:bsz] for f in enc_c]
+        fs_vc = [f[bsz:] for f in enc_c]
+        fc_vs = [f[:bsz] for f in enc_s]
+        fs_vs = [f[bsz:] for f in enc_s]
+        _, out3 = ada_of(
+            pa,
+            [jnp.concatenate([a, a, b]) for a, b in zip(fc_vc, fs_vc)],
+            [jnp.concatenate([a, b, a]) for a, b in zip(fs_vs, fc_vs)],
+        )
+        cs, cc, ss = out3[:bsz], out3[bsz:2 * bsz], out3[2 * bsz:]
+        vgg_all = vgg_of(jnp.concatenate([style, content, cs, cc, ss]))
+        vgg_fs, vgg_fc, vgg_fcs, vgg_fcc, vgg_fss = (
+            jax.tree.map(lambda v: v[i * bsz:(i + 1) * bsz], vgg_all)
+            for i in range(5)
+        )
+    else:
+        fc_vc = vit_c_of(pc, content)
+        fs_vs = vit_s_of(ps, style)
+        _, cs = ada_of(pa, fc_vc, fs_vs)
+
+        fc_vs = vit_s_of(ps, content)
+        fs_vc = vit_c_of(pc, style)
+        _, cc = ada_of(pa, fc_vc, fc_vs)
+        _, ss = ada_of(pa, fs_vc, fs_vs)
+
+        vgg_fs = vgg_of(style)
+        vgg_fc = vgg_of(content)
+        vgg_fcs = vgg_of(cs)
+        vgg_fcc = vgg_of(cc)
+        vgg_fss = vgg_of(ss)
 
     loss_gs = L.global_style_loss(vgg_fcs, vgg_fs) * cfg.lambda_gs
     loss_lf = (

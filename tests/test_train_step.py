@@ -200,3 +200,57 @@ def test_loader_early_stop_no_hang():
     n = sum(1 for _ in DataLoader(SlowDS(), batch_size=4, num_workers=2,
                                   seed=0))
     assert n == 16
+
+
+def test_fused_sweeps_matches_unfused():
+    """fused_sweeps batches the 4 ViT / 3 AdaFormer / 5 VGG sweeps on the
+    batch axis — exact (to reassociation noise) vs the literal per-sweep
+    graph under attn_mode="spatial", for loss AND grads."""
+    from dataclasses import replace
+
+    from mhada_tpu.train.train_image import image_loss_fn, init_params
+
+    cfg_f = ImageTrainConfig(
+        model=TINY, batch_size=2, image_size=(32, 32), fused_sweeps=True)
+    cfg_u = replace(cfg_f, fused_sweeps=False)
+    models = build_models(cfg_f, for_training=True)
+    params = init_params(jax.random.PRNGKey(0), cfg_f, models)
+    rng = np.random.default_rng(2)
+    c = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+
+    def run(cfg):
+        (loss, metrics), grads = jax.value_and_grad(
+            image_loss_fn, has_aux=True
+        )(params["trainable"], params["vgg19"], c, s, models, cfg)
+        return loss, metrics, grads
+
+    lf, mf, gf = run(cfg_f)
+    lu, mu, gu = run(cfg_u)
+    np.testing.assert_allclose(float(lf), float(lu), rtol=1e-5)
+    for k in mf:
+        np.testing.assert_allclose(float(mf[k]), float(mu[k]), rtol=1e-4,
+                                   atol=1e-6)
+    flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+    flat_u, _ = jax.flatten_util.ravel_pytree(gu)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_u),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_fused_sweeps_resolution():
+    """'auto' resolves to OFF (measured slower on v5e — see
+    ImageTrainConfig.fused_sweeps); explicit True/False are honoured.
+    The batch-coupled behavioural delta of forced batching is real but
+    sub-ULP at loss scale, so the resolution logic is what's pinned."""
+    from mhada_tpu.train.train_image import resolve_fused_sweeps
+
+    tiny_bc = ModelConfig(hidden_dim=64, mlp_dim=128, num_heads=4,
+                          attn_mode="batch_coupled")
+    assert not resolve_fused_sweeps(
+        ImageTrainConfig(model=tiny_bc, batch_size=2, image_size=(32, 32)))
+    assert not resolve_fused_sweeps(
+        ImageTrainConfig(model=TINY, batch_size=2, image_size=(32, 32)))
+    assert resolve_fused_sweeps(ImageTrainConfig(
+        model=TINY, batch_size=2, image_size=(32, 32), fused_sweeps=True))
+    assert not resolve_fused_sweeps(ImageTrainConfig(
+        model=TINY, batch_size=2, image_size=(32, 32), fused_sweeps=False))
