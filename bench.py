@@ -215,7 +215,10 @@ def main():
     # the batch axis (every op is per-frame independent, so outputs are
     # identical to one-by-one B=1) — the MXU sees 8x the rows and the
     # tunnel's per-dispatch overhead amortises, like a production
-    # transcode pipeline's micro-batching.
+    # transcode pipeline's micro-batching.  CHUNK=16 measured neutral
+    # (136.6 vs 137.8 fps, within tunnel variance): queued dispatches
+    # pipeline, so per-dispatch overhead overlaps compute -- 8 keeps the
+    # lower chunk latency.
     CHUNK = 8
 
     @jax.jit
@@ -226,7 +229,7 @@ def main():
     from mhada_tpu.utils.device import commit_to_device
 
     rng = np.random.default_rng(0)
-    n_inputs = 8
+    n_inputs = 16
     # commit inputs on-chip too: axon device_put buffers are host-backed and
     # would be re-shipped per execute (see utils/device.py).
     contents = [
@@ -239,7 +242,7 @@ def main():
         jnp.asarray(rng.uniform(0, 255, (1, 512, 512, 3)), jnp.float32)
     )
 
-    iters = 60
+    iters = 64
 
     # Full path (per-frame style encode), infer_time.py protocol.
     for i in range(5):

@@ -121,6 +121,11 @@ def c6_transposed(y_cp, w6, b6, row_tile: int | None = None):
     NHWC after bias + ReLU — exactly ``ConvReLU(c6)(col_to_space(y_cp))``.
     """
     b, h, j, c2 = y_cp.shape
+    if j + 2 > _JW:
+        raise ValueError(
+            f"c6_transposed supports widths up to {2 * (_JW - 2)} px "
+            f"(packed cols {j} > {_JW - 2}); use packed='mega' or 'col' "
+            "for larger frames")
     _TH = row_tile or next(t for t in (32, 16, 8, 4, 2, 1) if h % t == 0)
     assert h % _TH == 0 and c2 == 128, (h, c2)
     n_tiles = h // _TH

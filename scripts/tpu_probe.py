@@ -34,7 +34,11 @@ def timeit(fn, *args, iters=30, warm=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--size", type=int, default=512,
+                    help="content frame side (style stays 512 — the bench 1024^2 protocol reuses the 512^2 style KV)")
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
+    S = args.size
 
     from mhada_tpu.config import ModelConfig
     from mhada_tpu.models import AdaFormer
@@ -52,7 +56,7 @@ def main():
 
     rng = np.random.default_rng(0)
     content = commit_to_device(
-        jnp.asarray(rng.uniform(0, 255, (1, 512, 512, 3)), jnp.float32))
+        jnp.asarray(rng.uniform(0, 255, (1, S, S, 3)), jnp.float32))
     style = commit_to_device(
         jnp.asarray(rng.uniform(0, 255, (1, 512, 512, 3)), jnp.float32))
 
@@ -116,23 +120,31 @@ def main():
     # batched transcode: 8 frames per dispatch, one shared style — outputs
     # identical to per-frame B=1 (every op is batch-independent), but the
     # MXU sees 8x the rows and fixed overheads amortise.
-    B = 8
+    B = args.batch
     frames = commit_to_device(
-        jnp.asarray(rng.uniform(0, 255, (B, 512, 512, 3)), jnp.float32))
+        jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), jnp.float32))
     kv8 = commit_to_device([
         (jnp.tile(k, (B, 1, 1)), jnp.tile(v, (B, 1, 1)))
         for k, v in kv
     ])
+    ada_mega = AdaFormer(num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+                         activation=cfg.activation, use_pallas=True,
+                         packed_decoder="mega", fuse_prologue=True)
     for name, mod in (("col", ada_col), ("col+fused", ada_best),
-                      ("tail+fused", ada_tail)):
-        t = timeit(full(mod), params, frames, kv8, iters=max(4, it // 4))
-        print(f"batched B=8 {name:9s} {t*1e3:7.2f} ms/call -> "
+                      ("tail+fused", ada_tail), ("mega+fused", ada_mega)):
+        try:
+            t = timeit(full(mod), params, frames, kv8, iters=max(4, it // 4))
+        except Exception as e:
+            print(f"batched B={B} {name:10s} FAILED {str(e)[:90]}",
+                  flush=True)
+            continue
+        print(f"batched B={B} {name:10s} {t*1e3:7.2f} ms/call -> "
               f"{t/B*1e3:5.2f} ms/frame, {B/t:6.1f} fps", flush=True)
 
     # batched in-graph stage ablations (per-frame at the headline protocol)
     it8 = max(4, it // 4)
     t_vit8 = timeit(vit_only, params, frames, iters=it8)
-    print(f"batched B=8 vit_c only:       {t_vit8/B*1e3:5.2f} ms/frame",
+    print(f"batched B={B} vit_c only:       {t_vit8/B*1e3:5.2f} ms/frame",
           flush=True)
 
     @jax.jit
@@ -144,7 +156,7 @@ def main():
         return jnp.sum(fcs.astype(jnp.float32))
 
     t_vm8 = timeit(vit_plus_mhada8, params, frames, kv8, iters=it8)
-    print(f"batched B=8 vit + 6x MHAda:   {t_vm8/B*1e3:5.2f} ms/frame "
+    print(f"batched B={B} vit + 6x MHAda:   {t_vm8/B*1e3:5.2f} ms/frame "
           f"(mhada ~{(t_vm8-t_vit8)/B*1e3:.2f})", flush=True)
 
 
