@@ -67,6 +67,23 @@ def load_pth_params(ada_path: str, vitc_path: str, vits_path: str) -> Dict:
     })
 
 
+def load_orbax_params(ada_path: str, vitc_path: str, vits_path: str) -> Dict:
+    """Load a weight-snapshot triple produced by our own training
+    (train/checkpoint.py::save_weights: orbax dirs AdaFormer/ViT_C/ViT_S)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from ..utils.device import commit_to_device
+
+    r = ocp.StandardCheckpointer()
+    return commit_to_device({
+        "vit_c": r.restore(os.path.abspath(vitc_path)),
+        "vit_s": r.restore(os.path.abspath(vits_path)),
+        "adaFormer": r.restore(os.path.abspath(ada_path)),
+    })
+
+
 def make_stylize_fn(models: Dict, dtype=jnp.float32):
     """Jitted ``fn(params, content, style) -> cs`` (0-255 clamped).
 
@@ -266,12 +283,20 @@ def main():
                     help="save feature/head heatmaps (infer_image.py:97-184)")
     args = ap.parse_args()
 
-    use_pth = bool(args.ada)
+    import os
+
+    use_ckpt = bool(args.ada)
+    use_pth = use_ckpt and args.ada.endswith(".pth")
+    # reference .pth triples were trained with the batch-coupled quirk;
+    # our own orbax snapshots train in spatial mode
     attn_mode = args.attn_mode or ("batch_coupled" if use_pth else "spatial")
     cfg = ModelConfig(attn_mode=attn_mode)
     models = build_models(cfg)
     if use_pth:
         params = load_pth_params(args.ada, args.vitc, args.vits)
+    elif use_ckpt:
+        assert os.path.isdir(args.ada), args.ada
+        params = load_orbax_params(args.ada, args.vitc, args.vits)
     else:
         print("WARNING: no checkpoint given — random weights (smoke mode)")
         params = init_inference_params(
@@ -281,8 +306,6 @@ def main():
     c = load_image(args.content, tuple(args.size))
     s = load_image(args.style, tuple(args.size))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    import os
-
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     if args.heatmaps:
         fn = make_diagnostic_fn(models, dtype)

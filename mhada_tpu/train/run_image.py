@@ -48,6 +48,10 @@ def main(argv=None):
     ap.add_argument("--vgg", help="torchvision VGG19 .pth (IMAGENET1K_V1)")
     ap.add_argument("--attn-mode", default="spatial",
                     choices=["spatial", "batch_coupled"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype (bf16: ~1.4x faster steps, f32 "
+                    "master params/Adam either way)")
     ap.add_argument("--steps-per-epoch", type=int, default=0,
                     help="truncate epochs (smoke runs); 0 = full epoch")
     ap.add_argument("--seed", type=int, default=None)
@@ -62,6 +66,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         lr=args.lr,
         image_size=tuple(args.image_size),
+        compute_dtype=args.dtype,
     )
 
     dataset = CocoWikiArt(cfg.image_size, args.coco, args.wikiart, seed=args.seed)

@@ -165,3 +165,29 @@ def test_export_loads_into_reference_module():
           for k, v in export_vit(pv).items()}
     tmodel = refvit.VisionTransformer(pos_embedding=True)
     tmodel.load_state_dict(sd, strict=True)
+
+
+def test_orbax_weight_snapshot_infer_roundtrip(tmp_path):
+    """save_weights (our training's per-network orbax snapshots) ->
+    infer.image.load_orbax_params: the exact triple the infer CLI's
+    --ada/--vitc/--vits orbax branch consumes."""
+    import jax
+    import jax.numpy as jnp
+
+    from mhada_tpu.config import ImageTrainConfig, ModelConfig
+    from mhada_tpu.train import checkpoint as ckpt
+    from mhada_tpu.train.train_image import init_params
+    from mhada_tpu.infer.image import load_orbax_params
+
+    tiny = ModelConfig(hidden_dim=64, mlp_dim=128, num_heads=4)
+    cfg = ImageTrainConfig(model=tiny, batch_size=2, image_size=(32, 32))
+    params = init_params(jax.random.PRNGKey(0), cfg)["trainable"]
+    ckpt.save_weights(str(tmp_path), params, suffix="_epoch_3_batchSize_2")
+    loaded = load_orbax_params(
+        str(tmp_path / "AdaFormer_epoch_3_batchSize_2"),
+        str(tmp_path / "ViT_C_epoch_3_batchSize_2"),
+        str(tmp_path / "ViT_S_epoch_3_batchSize_2"),
+    )
+    flat_a, _ = jax.flatten_util.ravel_pytree(jax.device_get(params))
+    flat_b, _ = jax.flatten_util.ravel_pytree(jax.device_get(loaded))
+    np.testing.assert_array_equal(np.asarray(flat_a), np.asarray(flat_b))
