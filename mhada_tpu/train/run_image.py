@@ -114,7 +114,13 @@ def main(argv=None):
         for idx, (content, style) in enumerate(loader):
             if args.steps_per_epoch and idx >= args.steps_per_epoch:
                 break
-            batch = shard_batch(mesh, (jnp.asarray(content), jnp.asarray(style)))
+            # ship uint8: decoded pixels are integral (image_folder.py), so
+            # this is lossless and quarters the host->device batch bytes
+            # (the wall-clock bottleneck on tunnel-attached chips, PERF.md)
+            batch = shard_batch(mesh, (
+                jnp.asarray(np.asarray(content, np.uint8)),
+                jnp.asarray(np.asarray(style, np.uint8)),
+            ))
             state, metrics = step_fn(state, vgg_params, *batch)
             if idx % args.log_every == 0:
                 m = logger.log(int(state.step), metrics, epoch=epoch)

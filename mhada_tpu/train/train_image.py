@@ -234,6 +234,11 @@ def make_image_train_step(cfg: ImageTrainConfig, models=None, donate: bool = Tru
     tx = make_optimizer(cfg)
 
     def step(state: TrainState, vgg_params, content, style):
+        # batches may arrive as uint8 (run_image ships them that way:
+        # decoded pixels are integral, so the quarter-size host->device
+        # transfer is lossless); compute always starts from float32
+        content = content.astype(jnp.float32)
+        style = style.astype(jnp.float32)
         (loss, metrics), grads = jax.value_and_grad(
             image_loss_fn, has_aux=True
         )(state.params, vgg_params, content, style, models, cfg)

@@ -254,3 +254,21 @@ def test_fused_sweeps_resolution():
         model=TINY, batch_size=2, image_size=(32, 32), fused_sweeps=True))
     assert not resolve_fused_sweeps(ImageTrainConfig(
         model=TINY, batch_size=2, image_size=(32, 32), fused_sweeps=False))
+
+
+def test_uint8_batch_matches_float32():
+    """run_image ships batches as uint8 (lossless: decoded pixels are
+    integral; quarter H2D bytes) — the step must produce identical
+    metrics vs the same batch in float32."""
+    cfg = ImageTrainConfig(model=TINY, batch_size=2, image_size=(32, 32))
+    state, vgg = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_image_train_step(cfg, donate=False)
+    rng = np.random.default_rng(5)
+    c8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    s8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    _, m_u8 = step(state, vgg, jnp.asarray(c8), jnp.asarray(s8))
+    _, m_f32 = step(state, vgg, jnp.asarray(c8, jnp.float32),
+                    jnp.asarray(s8, jnp.float32))
+    for k in m_u8:
+        np.testing.assert_allclose(float(m_u8[k]), float(m_f32[k]),
+                                   rtol=1e-6)
