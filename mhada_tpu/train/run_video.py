@@ -12,6 +12,7 @@ Usage:
 import argparse
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -113,9 +114,18 @@ def main(argv=None):
         for idx, batch in enumerate(loader):
             if args.steps_per_epoch and idx >= args.steps_per_epoch:
                 break
-            style, c1, c2, flow, mask = (jnp.asarray(x) for x in batch)
+            style, c1, c2, flow, mask = batch
+            # images ship as uint8 (lossless — PIL-decoded pixels are
+            # integral; quarter H2D bytes, see run_image); flow/mask may
+            # be fractional and stay float32
             style, c1, c2, flow, mask = shard_batch(
-                mesh, (style, c1, c2, flow, mask)
+                mesh, (
+                    jnp.asarray(np.asarray(style, np.uint8)),
+                    jnp.asarray(np.asarray(c1, np.uint8)),
+                    jnp.asarray(np.asarray(c2, np.uint8)),
+                    jnp.asarray(flow),
+                    jnp.asarray(mask),
+                )
             )
             state, metrics = step_fn(state, vgg_params, style, c1, c2, flow, mask)
             if idx % args.log_every == 0:

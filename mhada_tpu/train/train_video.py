@@ -9,6 +9,7 @@ reference evaluates VGG on c1/c2/style under no_grad (train_video.py:125-128)
 """
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..config import VideoTrainConfig
@@ -98,6 +99,11 @@ def make_video_train_step(cfg: VideoTrainConfig, models=None, donate: bool = Tru
     tx = make_optimizer(cfg)
 
     def step(state: TrainState, vgg_params, style, c1, c2, flow, mask):
+        # image batches may arrive as uint8 (run_video ships them that
+        # way — lossless, quarter H2D bytes); compute starts from float32
+        style = style.astype(jnp.float32)
+        c1 = c1.astype(jnp.float32)
+        c2 = c2.astype(jnp.float32)
         (loss, metrics), grads = jax.value_and_grad(video_loss_fn, has_aux=True)(
             state.params, vgg_params, style, c1, c2, flow, mask, models, cfg
         )

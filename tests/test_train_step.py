@@ -272,3 +272,39 @@ def test_uint8_batch_matches_float32():
     for k in m_u8:
         np.testing.assert_allclose(float(m_u8[k]), float(m_f32[k]),
                                    rtol=1e-6)
+
+
+def test_video_uint8_images_match_float32():
+    """run_video ships style/c1/c2 as uint8 (flow/mask stay float) — the
+    step must produce identical metrics vs the float32 batch."""
+    cfg = VideoTrainConfig(
+        model=TINY, batch_size=2, style_size=(32, 32), content_size=(32, 64)
+    )
+    from mhada_tpu.train.train_image import init_params, make_optimizer
+    from mhada_tpu.train.train_image import TrainState
+
+    icfg = ImageTrainConfig(model=TINY, image_size=(32, 32))
+    params = init_params(jax.random.PRNGKey(0), icfg)
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params["trainable"],
+        opt_state=tx.init(params["trainable"]),
+    )
+    step = make_video_train_step(cfg, donate=False)
+    rng = np.random.default_rng(6)
+    s8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    c18 = rng.integers(0, 256, (2, 32, 64, 3), dtype=np.uint8)
+    c28 = rng.integers(0, 256, (2, 32, 64, 3), dtype=np.uint8)
+    flow = jnp.asarray(rng.standard_normal((2, 32, 64, 2)), jnp.float32)
+    mask = jnp.asarray(
+        (rng.uniform(size=(2, 32, 64)) > 0.2).astype(np.float32))
+    _, m_u8 = step(state, params["vgg19"], jnp.asarray(s8),
+                   jnp.asarray(c18), jnp.asarray(c28), flow, mask)
+    _, m_f32 = step(state, params["vgg19"],
+                    jnp.asarray(s8, jnp.float32),
+                    jnp.asarray(c18, jnp.float32),
+                    jnp.asarray(c28, jnp.float32), flow, mask)
+    for k in m_u8:
+        np.testing.assert_allclose(float(m_u8[k]), float(m_f32[k]),
+                                   rtol=1e-6)
