@@ -165,7 +165,7 @@ def run(
 def main(argv=None):
     from ..config import ModelConfig
     from ..train.train_image import build_models
-    from ..infer.image import init_inference_params, load_pth_params
+    from ..infer.image import init_inference_params, load_ckpt_params, default_attn_mode
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--assets", default="/root/reference/MHAdaSTr",
@@ -181,10 +181,10 @@ def main(argv=None):
     ap.add_argument("--size", type=int, nargs=2, default=(512, 512))
     args = ap.parse_args(argv)
 
-    attn = "batch_coupled" if args.ada else "spatial"
+    attn = default_attn_mode(args.ada)
     models = build_models(ModelConfig(attn_mode=attn))
     if args.ada:
-        params = load_pth_params(args.ada, args.vitc, args.vits)
+        params = load_ckpt_params(args.ada, args.vitc, args.vits)
     else:
         print("WARNING: random weights (smoke mode)")
         params = init_inference_params(

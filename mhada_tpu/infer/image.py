@@ -67,6 +67,26 @@ def load_pth_params(ada_path: str, vitc_path: str, vits_path: str) -> Dict:
     })
 
 
+def load_ckpt_params(ada_path: str, vitc_path: str, vits_path: str) -> Dict:
+    """Dispatch on checkpoint kind: reference ``.pth`` files -> the
+    torch-free pickle importers; directories -> our own training's orbax
+    weight snapshots.  Every inference/eval/analysis CLI's --ada/--vitc/
+    --vits goes through here."""
+    if ada_path.endswith(".pth"):
+        return load_pth_params(ada_path, vitc_path, vits_path)
+    import os
+
+    assert os.path.isdir(ada_path), ada_path
+    return load_orbax_params(ada_path, vitc_path, vits_path)
+
+
+def default_attn_mode(ada_path) -> str:
+    """Reference .pth triples were trained with the batch-coupled quirk;
+    our own orbax snapshots (and random weights) are spatial."""
+    return "batch_coupled" if (
+        ada_path and str(ada_path).endswith(".pth")) else "spatial"
+
+
 def load_orbax_params(ada_path: str, vitc_path: str, vits_path: str) -> Dict:
     """Load a weight-snapshot triple produced by our own training
     (train/checkpoint.py::save_weights: orbax dirs AdaFormer/ViT_C/ViT_S)."""
@@ -285,18 +305,11 @@ def main():
 
     import os
 
-    use_ckpt = bool(args.ada)
-    use_pth = use_ckpt and args.ada.endswith(".pth")
-    # reference .pth triples were trained with the batch-coupled quirk;
-    # our own orbax snapshots train in spatial mode
-    attn_mode = args.attn_mode or ("batch_coupled" if use_pth else "spatial")
+    attn_mode = args.attn_mode or default_attn_mode(args.ada)
     cfg = ModelConfig(attn_mode=attn_mode)
     models = build_models(cfg)
-    if use_pth:
-        params = load_pth_params(args.ada, args.vitc, args.vits)
-    elif use_ckpt:
-        assert os.path.isdir(args.ada), args.ada
-        params = load_orbax_params(args.ada, args.vitc, args.vits)
+    if args.ada:
+        params = load_ckpt_params(args.ada, args.vitc, args.vits)
     else:
         print("WARNING: no checkpoint given — random weights (smoke mode)")
         params = init_inference_params(

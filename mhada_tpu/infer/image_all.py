@@ -45,7 +45,7 @@ def run_grid(
 def main(argv=None):
     from ..config import ModelConfig
     from ..train.train_image import build_models
-    from .image import init_inference_params, load_pth_params
+    from .image import init_inference_params, load_ckpt_params, default_attn_mode
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--contents", default="/root/reference/MHAdaSTr/contents")
@@ -59,10 +59,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     models = build_models(
-        ModelConfig(attn_mode="batch_coupled" if args.ada else "spatial")
+        ModelConfig(attn_mode=default_attn_mode(args.ada))
     )
     if args.ada:
-        params = load_pth_params(args.ada, args.vitc, args.vits)
+        params = load_ckpt_params(args.ada, args.vitc, args.vits)
     else:
         print("WARNING: random weights (smoke mode)")
         params = init_inference_params(models, jax.random.PRNGKey(0))

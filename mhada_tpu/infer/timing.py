@@ -88,7 +88,7 @@ def measure(params, models, image_size=(512, 512), dtype=jnp.float32,
 def main(argv=None):
     from ..config import ModelConfig
     from ..train.train_image import build_models
-    from .image import init_inference_params, load_pth_params
+    from .image import init_inference_params, load_ckpt_params, default_attn_mode
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--size", type=int, nargs=2, default=(512, 512))
@@ -100,10 +100,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     models = build_models(
-        ModelConfig(attn_mode="batch_coupled" if args.ada else "spatial")
+        ModelConfig(attn_mode=default_attn_mode(args.ada))
     )
     if args.ada:
-        params = load_pth_params(args.ada, args.vitc, args.vits)
+        params = load_ckpt_params(args.ada, args.vitc, args.vits)
     else:
         params = init_inference_params(models, jax.random.PRNGKey(0))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -85,7 +85,7 @@ def output_level_temporal_loss(c1, c2, cs1, cs2, flow, mask) -> jnp.ndarray:
     m = mask[..., None]
     per_elem = jnp.square(output_term - input_term) * m
     nnz = jnp.sum(m) * c2.shape[-1]
-    return jnp.sum(per_elem) / nnz
+    return _masked_mean(per_elem, nnz)
 
 
 def feature_level_temporal_loss(f1, f2, flow, mask) -> jnp.ndarray:
@@ -105,4 +105,16 @@ def feature_level_temporal_loss(f1, f2, flow, mask) -> jnp.ndarray:
     fmask = (fmask > 0).astype(f1.dtype)
     per_elem = jnp.square(f2 - warped_f1) * fmask
     nnz = jnp.sum(fmask) * f1.shape[-1]
-    return jnp.sum(per_elem) / nnz
+    return _masked_mean(per_elem, nnz)
+
+
+def _masked_mean(per_elem, nnz) -> jnp.ndarray:
+    """sum(per_elem)/nnz, defined as 0 when the mask is empty.
+
+    Deliberate robustness deviation: the reference's torch expression
+    (lossfn.py:66,86) yields NaN on an all-zero mask — impossible on its
+    real datasets, but one degenerate sample (fully occluded flow, or a
+    sparse mask whose support the 8x feature-grid downsample misses
+    entirely) would poison the whole run with NaN gradients.  An empty
+    mask means "no temporal signal", i.e. zero loss."""
+    return jnp.where(nnz > 0, jnp.sum(per_elem) / jnp.maximum(nnz, 1), 0.0)

@@ -43,6 +43,11 @@ def main(argv=None):
     ap.add_argument("--steps-per-epoch", type=int, default=0)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype (bf16: faster steps; f32 master "
+                    "params/Adam either way)")
+    ap.add_argument("--metrics-jsonl", help="structured per-step metrics file")
     args = ap.parse_args(argv)
 
     cfg = VideoTrainConfig(
@@ -54,6 +59,7 @@ def main(argv=None):
         lr=args.lr,
         style_size=tuple(args.style_size),
         content_size=tuple(args.content_size),
+        compute_dtype=args.dtype,
     )
 
     dataset = FlyingThings3DMonkaaWikiArt(
@@ -109,6 +115,9 @@ def main(argv=None):
     state = replicate(mesh, state)
     step_fn = make_video_train_step(cfg)
 
+    from ..utils.profiling import MetricsLogger
+
+    logger = MetricsLogger(args.metrics_jsonl)
     for epoch in range(cfg.epoch_start, cfg.epoch_end + 1):
         t0 = time.time()
         for idx, batch in enumerate(loader):
@@ -129,7 +138,9 @@ def main(argv=None):
             )
             state, metrics = step_fn(state, vgg_params, style, c1, c2, flow, mask)
             if idx % args.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = logger.log(int(state.step), metrics, epoch=epoch)
+                m = {k: v for k, v in m.items()
+                     if k not in ("step", "time", "epoch")}
                 print(
                     f"epoch {epoch}/{cfg.epoch_end} step {idx} "
                     + " ".join(f"{k}={v:.4f}" for k, v in m.items())

@@ -176,3 +176,34 @@ def test_feature_level_temporal_loss():
         )
     )
     np.testing.assert_allclose(got, float(ref), rtol=1e-4)
+
+
+def test_temporal_losses_empty_mask_is_zero_not_nan():
+    """An all-zero validity mask (fully occluded flow, or a sparse mask
+    whose support the feature-grid downsample misses) must give zero loss
+    with finite gradients — not the reference expression's 0/0 NaN, which
+    would poison a whole training run (losses._masked_mean)."""
+    import jax
+
+    from mhada_tpu.train import losses as L
+
+    rng = np.random.default_rng(9)
+    c1 = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)), jnp.float32)
+    c2 = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)), jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((1, 2, 2, 8)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 2, 2, 8)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, 16, 16, 2)), jnp.float32)
+    zero_mask = jnp.zeros((1, 16, 16), jnp.float32)
+
+    assert float(L.output_level_temporal_loss(
+        c1, c2, c1, c2, flow, zero_mask)) == 0.0
+    assert float(L.feature_level_temporal_loss(
+        f1, f2, flow, zero_mask)) == 0.0
+    g = jax.grad(lambda a: L.feature_level_temporal_loss(
+        a, f2, flow, zero_mask))(f1)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # non-empty masks keep the reference semantics (plain masked mean)
+    ones = jnp.ones((1, 16, 16), jnp.float32)
+    got = float(L.output_level_temporal_loss(c1, c2, c1, c2, flow, ones))
+    assert np.isfinite(got) and got > 0
