@@ -316,6 +316,59 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
 
 
+def _bwd_combined_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                         dq_ref, dk_ref, dv_ref, acc_dk, acc_dv,
+                         *, scale: float, m_actual: int, tm: int,
+                         n_nb: int):
+    """dQ + dK + dV in one pass when the whole key set fits one block
+    (m_pad == tm) — logits/P/dA computed once instead of once per kernel
+    (~30% fewer backward FLOPs, half the exp traffic); see the MHAda
+    twin (mhada_pallas._bwd_combined_kernel)."""
+    jn = pl.program_id(1)
+
+    @pl.when(jn == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros(acc_dk.shape, acc_dk.dtype)
+        acc_dv[...] = jnp.zeros(acc_dv.shape, acc_dv.dtype)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    p = jnp.exp(logits - lse_ref[0][:, :1])
+    if m_actual % tm != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        p = jnp.where(col < m_actual, p, 0.0)
+
+    acc_dv[...] += jax.lax.dot_general(
+        p.astype(g.dtype), g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    da = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dl = p * (da - delta_ref[0][:, :1]) * scale
+    dq_ref[0] = jax.lax.dot_general(
+        dl.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    acc_dk[...] += jax.lax.dot_general(
+        dl.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jn == n_nb - 1)
+    def _finalize():
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[...].astype(dv_ref.dtype)
+
+
 def _bwd_dkv_kernel(k_ref, v_ref, q_ref, g_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, acc_dk, acc_dv,
                     *, scale: float, m_actual: int, tm: int, n_nb: int):
@@ -389,6 +442,40 @@ def _attn_stream_bwd_impl(q, k, v, out, lse, g, scale, block_n, block_m):
                           memory_space=pltpu.VMEM)
     n_nb = n_pad // tn
     n_mb = m_pad // tm
+
+    if n_mb == 1:
+        # whole key set in one block (training shapes): one combined pass
+        qspec1 = pl.BlockSpec((1, tn, d), lambda i, jn: (i, jn, 0),
+                              memory_space=pltpu.VMEM)
+        rowspec1 = pl.BlockSpec((1, tn, _LANES), lambda i, jn: (i, jn, 0),
+                                memory_space=pltpu.VMEM)
+        kvspec1 = pl.BlockSpec((1, tm, d), lambda i, jn: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_combined_kernel, scale=scale,
+                              m_actual=m, tm=tm, n_nb=n_nb),
+            grid=(bh, n_nb),
+            in_specs=[qspec1, kvspec1, kvspec1, qspec1, rowspec1,
+                      rowspec1],
+            out_specs=[qspec1, kvspec1, kvspec1],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, m_pad, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, m_pad, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tm, d), f32),
+                pltpu.VMEM((tm, d), f32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(qf, kf, vf, gp, lse_f, delta_f)
+        return (
+            dq[:, :n].reshape(b, h, n, d),
+            dk[:, :m].reshape(b, h, m, d),
+            dv[:, :m].reshape(b, h, m, d),
+        )
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, m_actual=m, tm=tm,
