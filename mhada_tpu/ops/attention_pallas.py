@@ -542,11 +542,17 @@ def _attn_fwd(q, k, v, scale, block_n, block_m, streaming):
 
 def _attn_bwd(scale, block_n, block_m, streaming, res, g):
     q, k, v, out, lse = res
-    # backward holds more VMEM buffers per program: clamp its tiles.
-    # (256, 1024) measured 2.84 vs 3.46 ms for (256, 512) at the training
-    # shape (B=8 h=8 N=M=1024 d=64 bf16, scripts/bwd_tile_probe.py) —
-    # a 1024-key block halves the inner streaming loop's rescale passes;
-    # VMEM stays <1.5 MB/program even at f32.
+    # Measured tile policy (scripts/bwd_tile_probe.py + the m=2048 A/B):
+    #   m <= 1024:        (256, 1024) — combined one-pass kernel, 2.36 ms
+    #                     vs 3.46 for the old (256, 512) two-pass
+    #   1024 < m <= 2048: (512, 2048) — combined, 2.06 vs 2.86 ms
+    #                     (f32 halves the query tile: 8 MB of f32 score
+    #                     tiles otherwise)
+    #   larger:           (256, 1024) two-pass streaming
+    m = k.shape[2]
+    if 1024 < m <= 2048:
+        tn = 256 if q.dtype.itemsize > 2 else 512
+        return _attn_stream_bwd_impl(q, k, v, out, lse, g, scale, tn, 2048)
     return _attn_stream_bwd_impl(q, k, v, out, lse, g, scale,
                                  min(block_n, 256), min(block_m, 1024))
 

@@ -698,13 +698,14 @@ def _mhada_fwd(q, k, v, fcs_n, block_n, block_m, streaming):
 
 def _mhada_bwd(block_n, block_m, streaming, res, g):
     q, k, v, fcs_n, m1e2, lse = res
-    # backward holds many more VMEM buffers per program than the forward —
-    # clamp to tiles that fit regardless of the forward's streaming sizes.
-    # Key-block 1024 (not 512) measured 2.79 vs 3.42 ms at the training
-    # shape (B=8 h=8 N=M=1024 d=64 bf16, scripts/bwd_tile_probe.py); with
-    # the combined single-key-block kernel (m <= 1024), query tile 512
-    # beats 256 (2.62 vs 2.90 ms — fewer dk/dv accumulation steps).
-    tn = 512 if k.shape[2] <= 1024 else min(block_n, 256)
+    # Measured tile policy (scripts/bwd_tile_probe.py + the m=2048 A/B):
+    # query tile 512, key block 1024 at every m — at m <= 1024 the
+    # combined one-pass kernel engages (2.62 vs 3.42 ms for the old
+    # (256, 512) two-pass at the training shape); at m = 2048 the
+    # (512, 1024) two-pass measured 2.54 vs 4.68 for (256, 1024) and
+    # 2.79 for the combined (512, 2048) variant.  f32 halves the query
+    # tile (score-tile VMEM).
+    tn = 256 if q.dtype.itemsize > 2 else 512
     return _mhada_stream_bwd_impl(q, k, v, fcs_n, m1e2, lse, g,
                                   tn, min(block_m, 1024))
 
