@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..config import ImageTrainConfig, ModelConfig
 from ..data import CocoWikiArt, DataLoader
 from ..parallel import make_mesh, shard_batch, replicate
+from ..utils.image_io import to_uint8_pixels
 from . import checkpoint as ckpt
 from .train_image import (
     TrainState,
@@ -118,8 +119,8 @@ def main(argv=None):
             # this is lossless and quarters the host->device batch bytes
             # (the wall-clock bottleneck on tunnel-attached chips, PERF.md)
             batch = shard_batch(mesh, (
-                jnp.asarray(np.asarray(content, np.uint8)),
-                jnp.asarray(np.asarray(style, np.uint8)),
+                jnp.asarray(to_uint8_pixels(content)),
+                jnp.asarray(to_uint8_pixels(style)),
             ))
             state, metrics = step_fn(state, vgg_params, *batch)
             if idx % args.log_every == 0:

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..config import VideoTrainConfig, ModelConfig
 from ..data import FlyingThings3DMonkaaWikiArt, DataLoader
 from ..parallel import make_mesh, shard_batch, replicate
+from ..utils.image_io import to_uint8_pixels
 from . import checkpoint as ckpt
 from .train_image import TrainState, init_params, make_optimizer
 from .train_video import make_video_train_step
@@ -129,9 +130,9 @@ def main(argv=None):
             # be fractional and stay float32
             style, c1, c2, flow, mask = shard_batch(
                 mesh, (
-                    jnp.asarray(np.asarray(style, np.uint8)),
-                    jnp.asarray(np.asarray(c1, np.uint8)),
-                    jnp.asarray(np.asarray(c2, np.uint8)),
+                    jnp.asarray(to_uint8_pixels(style)),
+                    jnp.asarray(to_uint8_pixels(c1)),
+                    jnp.asarray(to_uint8_pixels(c2)),
                     jnp.asarray(flow),
                     jnp.asarray(mask),
                 )

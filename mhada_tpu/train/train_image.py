@@ -140,6 +140,18 @@ def resolve_fused_sweeps(cfg) -> bool:
     fused = getattr(cfg, "fused_sweeps", "auto")
     if fused == "auto":
         return False
+    if fused and getattr(
+            getattr(cfg, "model", None), "attn_mode", "spatial"
+    ) == "batch_coupled":
+        import warnings
+
+        warnings.warn(
+            "fused_sweeps=True with attn_mode='batch_coupled' changes "
+            "training semantics: batching the sweeps alters which images "
+            "attend to each other through the batch-axis attention quirk "
+            "(reference vit.py:48).  Only attn_mode='spatial' is exact.",
+            stacklevel=2,
+        )
     return bool(fused)
 
 

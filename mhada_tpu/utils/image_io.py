@@ -16,6 +16,22 @@ def to_tensor255(img) -> np.ndarray:
     return np.asarray(img, dtype=np.float32)
 
 
+def to_uint8_pixels(arr) -> np.ndarray:
+    """Lossless-by-construction uint8 cast for the uint8-shipping train path.
+
+    The loaders yield integral float pixels in [0, 255] (PIL decode x255,
+    image_folder.py), so today this equals ``astype(uint8)`` — but a bare
+    cast silently wraps/truncates if a future augmentation ever yields
+    out-of-range or fractional values.  Round + clip keeps the cast safe.
+    """
+    a = np.asarray(arr)
+    if a.dtype == np.uint8:
+        return a
+    if np.issubdtype(a.dtype, np.floating):
+        a = np.rint(a)
+    return np.clip(a, 0, 255).astype(np.uint8)
+
+
 def load_image(
     path: str, size_hw: Optional[Tuple[int, int]] = None
 ) -> np.ndarray:

@@ -325,3 +325,58 @@ def test_vit_attention_vjp_matches_naive_grads():
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=1e-2)
+
+
+def test_vit_attention_vjp_combined_2048_branch():
+    """The 1024 < m <= 2048 backward branch (attention_pallas.py::_attn_bwd)
+    forces the COMBINED dQ+dK+dV kernel at key-block 2048; m=1100 lands in
+    it with key padding, so the masked tail block is exercised too
+    (ADVICE r3: this tile point was previously validated only by on-chip
+    probes)."""
+    from mhada_tpu.ops.attention_pallas import attention_pallas
+
+    q, k, v, _ = _inputs(1, 1, 300, 1100, 64, scale=0.5)
+    scale = 0.125
+
+    def loss_naive(args):
+        q, k, v = args
+        a = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1
+        )
+        return jnp.sum(jnp.sin(jnp.einsum("bhnm,bhmd->bhnd", a, v)))
+
+    def loss_pallas(args):
+        q, k, v = args
+        # default blocks: _attn_bwd's 1024<m<=2048 policy branch picks the
+        # combined kernel at (256 f32, 2048) regardless of forward tiles
+        return jnp.sum(jnp.sin(attention_pallas(q, k, v, scale)))
+
+    g_ref = jax.grad(loss_naive)((q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas)((q, k, v))
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_mhada_vjp_two_pass_1024_keyblock_branch():
+    """The MHAda backward at m > 1024 (mhada_pallas.py::_mhada_bwd): key
+    block clamps to 1024, so m=1100 runs the TWO-PASS streaming backward
+    with a padded second key block — the video-shape tile point
+    ((512, 1024) in bf16, (256, 1024) here in f32)."""
+    q, k, v, f = _inputs(1, 1, 300, 1100, 64, scale=0.5)
+
+    def loss_naive(args):
+        q, k, v, f = args
+        return jnp.sum(jnp.sin(mhada_attention(q, k, v, f, "softmax")))
+
+    def loss_pallas(args):
+        q, k, v, f = args
+        return jnp.sum(jnp.sin(mhada_attention_pallas(q, k, v, f)))
+
+    g_ref = jax.grad(loss_naive)((q, k, v, f))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas)((q, k, v, f))
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3, rtol=1e-2)
