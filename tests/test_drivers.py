@@ -294,3 +294,16 @@ def test_exps_image_all_csv(tmp_path, setup):
     assert list(rd[0].keys()) == FIELDNAMES
     assert rd[-1]["content"] == "average"
     assert os.path.exists(tmp_path / "res" / "content_1_style_1.jpg")
+
+
+def test_reference_gate_smoke():
+    """scripts/reference_gate.py --smoke: seeded weights round-trip through
+    .pth export -> the gate's own import path, pixel-bound asserted — keeps
+    the standing acceptance command (BASELINE.md) runnable."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import reference_gate
+
+    reference_gate.main(["--smoke", "--smoke-size", "64"])
