@@ -130,6 +130,94 @@ def kernel_parity_gate():
           f"{gf/dt/1e3:.2f} TFLOP/s", file=sys.stderr)
 
 
+def vit_kernel_parity_gate():
+    """On-chip parity for the remaining headline-path kernels (VERDICT r3
+    #2b/#2c): the token-major two-heads-per-program attention kernel vs the
+    head-major kernel, and the fused LN+matmul prologue vs the unfused XLA
+    path.  Both previously had only interpret-mode CPU tests
+    (tests/test_mhada_pallas.py, tests/test_ln_matmul.py), which cannot
+    catch Mosaic compile/layout bugs.  Shapes are the 512^2 production
+    shapes; inputs are unit-scale (the ViT softmax IS 1/sqrt(d)-scaled, so
+    elementwise max is a stable statistic here, unlike the MHAda gates)."""
+    from mhada_tpu.ops.attention_pallas import (
+        attention_pallas, attention_pallas_tm,
+    )
+    from mhada_tpu.ops.ln_matmul_pallas import ln_matmul
+    from mhada_tpu.utils.device import commit_to_device
+
+    rng = np.random.default_rng(7)
+    B, N, E, H = 1, 4096, 512, 8
+    d = E // H
+    scale = 1.0 / float(np.sqrt(d))
+    qkv_np = rng.standard_normal((B, N, 3 * E)) * 0.5
+
+    def make_tm_err(dtype):
+        @jax.jit
+        def err(qkv):
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = (
+                t.reshape(B, N, H, d).transpose(0, 2, 1, 3)
+                for t in (q, k, v)
+            )
+            hm = attention_pallas(q, k, v, scale)
+            hm = hm.transpose(0, 2, 1, 3).reshape(B, N, E)
+            tm = attention_pallas_tm(qkv, scale, H)
+            e = jnp.abs(tm.astype(jnp.float32) - hm.astype(jnp.float32))
+            return jnp.max(e), jnp.mean(e)
+
+        return err
+
+    # measured r4 on v5e: 0.0 for BOTH dtypes — the two kernels compute
+    # the same op order, so the gate catches any layout/compile divergence
+    for dtype, bound in ((jnp.float32, 1e-4), (jnp.bfloat16, 1e-2)):
+        qkv = commit_to_device(jnp.asarray(qkv_np, dtype))
+        mx, mean = (float(x) for x in make_tm_err(dtype)(qkv))
+        print(f"tokmaj-vs-headmajor attention {dtype.__name__} @ "
+              f"(1,4096,8x64): max={mx:.2e} mean={mean:.2e} (max<{bound})",
+              file=sys.stderr)
+        assert mx < bound, f"tokmaj attention parity FAILED: max {mx}"
+
+    # ln_matmul: both pre-LN sites per encoder block use it on inference
+    # builds (models/layers.py); compare against the unfused f32-LN + matmul
+    # on the qkv-projection shape.
+    x_np = rng.standard_normal((B, N, E))
+    s_np = 1.0 + 0.1 * rng.standard_normal(E)
+    sb_np = 0.1 * rng.standard_normal(E)
+    w_np = rng.standard_normal((E, 3 * E)) * 0.03
+    b_np = 0.1 * rng.standard_normal(3 * E)
+
+    def make_ln_err(dtype):
+        @jax.jit
+        def err(x, s, sb, w, b):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            xc = xf - mu
+            hn = xc * jax.lax.rsqrt(
+                jnp.mean(xc * xc, axis=-1, keepdims=True) + 1e-6)
+            hn = (hn * s + sb).astype(dtype)
+            ref = (hn @ w.astype(dtype)).astype(jnp.float32) + b
+            got = ln_matmul(x, s, sb, w.astype(dtype), b)
+            e = jnp.abs(got.astype(jnp.float32) - ref)
+            return jnp.max(e), jnp.mean(e)
+
+        return err
+
+    # measured r4 on v5e: f32 max 1.0e-3 / mean 2.7e-7 (|out| ~ 0.7) — the
+    # max is a tail event from Mosaic's rsqrt lowering differing from
+    # XLA's in the last bits, amplified by the 512-deep contraction
+    for dtype, bound in ((jnp.float32, 5e-3), (jnp.bfloat16, 2e-1)):
+        args = commit_to_device(tuple(
+            jnp.asarray(a, t) for a, t in (
+                (x_np, dtype), (s_np, jnp.float32), (sb_np, jnp.float32),
+                (w_np, dtype), (b_np, jnp.float32),
+            )
+        ))
+        mx, mean = (float(x) for x in make_ln_err(dtype)(*args))
+        print(f"ln_matmul {dtype.__name__} @ (1,4096,512)->(1536): "
+              f"max={mx:.2e} mean={mean:.2e} (max<{bound})", file=sys.stderr)
+        assert mx < bound, f"ln_matmul parity FAILED: max {mx}"
+
+
 def _write_test_clip(path, h=512, w=512, n_frames=192, fps=30.0):
     """Synthetic mp4 clip (smooth moving gradients — compresses/decodes like
     real footage, unlike noise) for the sustained-transcode protocol."""
@@ -175,14 +263,26 @@ def transcode_bench(models, params, style_np, chunk=8):
     session = {}
     stream_stylize(params, models, clip, style_np, out_dir,
                    max_frames=3 * chunk, session=session, **kw)
-    t0 = time.perf_counter()
-    n = stream_stylize(params, models, clip, style_np, out_dir,
-                       session=session, **kw)
-    fps = n / (time.perf_counter() - t0)
-    assert n == n_frames, (n, n_frames)
+    # 3 timed passes: the number is tunnel-bandwidth-bound and varies ~2x
+    # run to run (PERF.md), so report median + spread, not a point.
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = stream_stylize(params, models, clip, style_np, out_dir,
+                           session=session, **kw)
+        windows.append(n / (time.perf_counter() - t0))
+    fps = float(np.median(windows))
+    # mp4 frame counts are codec/decoder dependent (cv2 may drop/dup a
+    # frame); fps is computed from the ACTUAL decoded count, so small drift
+    # only warrants a warning, not an abort after the expensive compile.
+    if n != n_frames:
+        print(f"WARNING: transcode decoded {n} frames, wrote {n_frames} "
+              f"(codec drift); fps uses the actual count", file=sys.stderr)
+    assert n >= 0.9 * n_frames, (n, n_frames)
     print(f"sustained transcode (decode+H2D+stylize+D2H, {n} frames, "
-          f"chunk {chunk}): {fps:.2f} fps", file=sys.stderr)
-    return fps
+          f"chunk {chunk}): median {fps:.2f} fps over 3 passes "
+          f"[{min(windows):.2f}, {max(windows):.2f}]", file=sys.stderr)
+    return fps, float(min(windows)), float(max(windows))
 
 
 def main():
@@ -324,31 +424,94 @@ def main():
     # single-kernel f32 error chaotically (measured chain max 0.59 at
     # logit std ~1 while rel_mean stays 3e-3).  Gate the fast path's
     # structure (fused prologue + token-major KV cache vs the plain
-    # head-major block) with a tight max on ada0 alone.
+    # head-major block) with a tight max on EVERY block INDIVIDUALLY
+    # (VERDICT r3 #3): block j's fused output is compared against the
+    # plain block on the SAME chain input (the plain chain's running
+    # fcs), so a single-block regression cannot hide behind chain
+    # statistics.
     from mhada_tpu.models.adaformer import AdaAttnMultiHead
 
+    n_blocks = 2 * models["adaFormer"].num_layers
     blk_fused = AdaAttnMultiHead(use_pallas=True, fuse_prologue=True)
     blk_plain = AdaAttnMultiHead(use_pallas=True)
 
     @jax.jit
-    def block_err(p, content, kv0):
+    def per_block_errs(p, content, fs_list, kvs):
         fc = models["vit_c"].apply({"params": p["vit_c"]}, content)
-        b, h, w, c = fc[0].shape
-        fct = fc[0].reshape(b, h * w, c)
-        fst = fs_rs[0].reshape(b, h * w, c)
-        pa0 = {"params": p["adaFormer"]["ada0"]}
-        out_f = blk_fused.apply(pa0, fct, None, fct, kv0)
-        out_p = blk_plain.apply(pa0, fct, fst, fct)
-        e = jnp.abs(out_f - out_p)
-        return jnp.max(e), jnp.mean(e) / jnp.mean(jnp.abs(out_p))
+        fc_tok = [f.reshape(f.shape[0], -1, f.shape[-1]) for f in fc]
+        fs_tok = [f.reshape(f.shape[0], -1, f.shape[-1]) for f in fs_list]
+        fcs = fc_tok[0]
+        errs = []
+        for j in range(n_blocks):
+            i = j // 2
+            paj = {"params": p["adaFormer"][f"ada{j}"]}
+            q_in = fc_tok[i] if j % 2 == 0 else fcs
+            out_p = blk_plain.apply(paj, q_in, fs_tok[i], fcs)
+            out_f = blk_fused.apply(paj, q_in, None, fcs, kvs[j])
+            e = jnp.abs(out_f - out_p)
+            errs.append(
+                (jnp.max(e), jnp.mean(e) / jnp.mean(jnp.abs(out_p))))
+            fcs = out_p
+        return errs
 
-    blk_max, blk_rel = (float(x) for x in
-                        block_err(params_rs, contents[0], kv_rs[0]))
-    print(f"single-block fused-prologue vs plain (logit std ~1, f32): "
-          f"max={blk_max:.2e} rel_mean={blk_rel:.2e}", file=sys.stderr)
-    assert blk_max < 1e-1, f"fast-path block max parity FAILED: {blk_max}"
-    # measured r3: blk_max 4.5e-2, blk_rel 3.1e-5 — the max sits on
-    # argmax-adjacent rows of the unscaled softmax; 2x headroom.
+    errs = per_block_errs(params_rs, contents[0], fs_rs, kv_rs)
+    for j, (blk_max, blk_rel) in enumerate(errs):
+        blk_max, blk_rel = float(blk_max), float(blk_rel)
+        print(f"block ada{j} fused-prologue vs plain (logit std ~1, f32): "
+              f"max={blk_max:.2e} rel_mean={blk_rel:.2e} (max<1e-1)",
+              file=sys.stderr)
+        assert blk_max < 1e-1, \
+            f"fast-path ada{j} max parity FAILED: {blk_max}"
+    # measured r4: 0.0 on ALL 6 blocks — with K/V passed as jit arguments
+    # both sides consume bitwise-identical K/V and the fused-prologue /
+    # token-major kernels compute bitwise-identically to the XLA+head-major
+    # path on v5e (r3's 4.5e-2 came from its closure CONSTANT-FOLDING the
+    # K/V einsum on the host, f32 rounding vs MXU).  The 1e-1 bound stays:
+    # argmax-adjacent rows of the unscaled softmax can legitimately move
+    # O(1e-2) under compiler op-reordering (the r3 measurement), and the
+    # gate's job is catching miscompiles, which are O(1).
+
+    # Mega decoder tail vs XLA "col" on the SAME fcs activation (VERDICT
+    # r3 #2a): tail3_fused is the TPU inference default
+    # (train_image.py::build_models) but was parity-tested only in
+    # interpret mode; a silent Mosaic miscompile would corrupt the
+    # headline number AND both sides of every pre-decoder gate.  The
+    # kernel is element-exact by design (tests/test_decoder_tail.py), so
+    # the bound is tight.
+    from mhada_tpu.models.decoder import Decoder
+
+    dec_params = {"params": params["adaFormer"]["decoder"]}
+    dec_mega = Decoder(packed="mega")
+    dec_col = Decoder(packed="col")
+
+    @jax.jit
+    def fcs_of(p, content, style):
+        fc = models["vit_c"].apply({"params": p["vit_c"]}, content)
+        fs_ = models["vit_s"].apply({"params": p["vit_s"]}, style)
+        fcs_map, _ = models["adaFormer"].apply(
+            {"params": p["adaFormer"]}, fc, fs_)
+        return fcs_map
+
+    fcs_act = fcs_of(params, contents[0], style)  # (1, 64, 64, 512) f32
+
+    @jax.jit
+    def dec_err(fcs_map):
+        got = dec_mega.apply(dec_params, fcs_map)
+        ref = dec_col.apply(dec_params, fcs_map)
+        e = jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))
+        return jnp.max(e), jnp.mean(e), jnp.mean(jnp.abs(ref))
+
+    # measured r4 on v5e: f32 max 1.3e-3 / mean 2.6e-5 at |out| ~ 2e-2 —
+    # "element-exact" holds in interpret mode (same arithmetic), but the
+    # on-chip f32 matmuls decompose into bf16 passes differently in the
+    # XLA conv vs the Mosaic dot chain, and the error is relative to the
+    # LARGER intermediate activations, not the attenuated smoke output
+    for dtype, bound in ((jnp.float32, 5e-3), (jnp.bfloat16, 5e-2)):
+        mx, mean, mag = (float(x) for x in dec_err(fcs_act.astype(dtype)))
+        print(f"mega decoder tail vs XLA col {dtype.__name__} @ 512^2: "
+              f"max={mx:.2e} mean={mean:.2e} |out|~{mag:.2e} (max<{bound})",
+              file=sys.stderr)
+        assert mx < bound, f"mega tail parity FAILED: max {mx}"
 
     kv = commit_to_device([
         (jnp.tile(k, (CHUNK, 1, 1)), jnp.tile(v, (CHUNK, 1, 1)))
@@ -371,7 +534,8 @@ def main():
 
     # Sustained end-to-end transcode (host decode + transfers included).
     style_np = np.asarray(rng.uniform(0, 255, (512, 512, 3)), np.float32)
-    transcode_fps = transcode_bench(models, params, style_np)
+    transcode_fps, transcode_lo, transcode_hi = transcode_bench(
+        models, params, style_np)
 
     # 1024^2 as a first-class measured path (VERDICT r2 #5): same streaming
     # protocol (style KV hoisted), flash key-streaming kernels engage
@@ -425,6 +589,9 @@ def main():
                 "vs_baseline": round(fps / TARGET_FPS, 3),
                 "mfu": round(mfu, 3),
                 "sustained_transcode_fps": round(transcode_fps, 2),
+                # tunnel-bandwidth-bound, ~2x run-to-run variance (PERF.md)
+                "sustained_transcode_fps_spread": [
+                    round(transcode_lo, 2), round(transcode_hi, 2)],
                 "fps_1024": round(fps_1k, 2),
             }
         )
@@ -436,4 +603,5 @@ if __name__ == "__main__":
 
     if os.environ.get("MHADA_BENCH_SKIP_PARITY") != "1":
         kernel_parity_gate()
+        vit_kernel_parity_gate()
     main()
