@@ -23,6 +23,10 @@ class ModelConfig:
     # MHAda backend: "auto" = fused Pallas kernel on TPU inference, naive
     # einsum elsewhere; "naive" / "pallas" force.
     mhada_backend: str = "auto"
+    # fused LN+matmul prologue (ops/ln_matmul_pallas, differentiable since
+    # round 4): "auto" = TPU inference builds only; True/False force
+    # both/neither build kind (the A/B knob for training, PERF.md).
+    fuse_ln: str | bool = "auto"
 
 
 @dataclass(frozen=True)

@@ -89,7 +89,7 @@ def bench_video(cfg, steps: int):
 
 
 VARIANTS = ("image_f32", "image_bf16", "image_f32_remat", "video_f32",
-            "video_bf16")
+            "video_bf16", "image_bf16_fuseln")
 
 
 def main(argv=None):
@@ -123,6 +123,10 @@ def main(argv=None):
         "video_f32": lambda: bench_video(vcfg, args.steps),
         "video_bf16": lambda: bench_video(
             replace(vcfg, compute_dtype="bfloat16"), args.steps),
+        # A/B of the round-4 differentiable LN+matmul fusion in training
+        "image_bf16_fuseln": lambda: bench_image(
+            replace(icfg, compute_dtype="bfloat16",
+                    model=replace(icfg.model, fuse_ln=True)), args.steps),
     }
     print(f"{'variant':<18} {'ms/step':>9} {'steps/s':>9}")
     for name in args.variants:

@@ -48,6 +48,9 @@ def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
     use_pallas = resolve_mhada_backend(
         getattr(m, "mhada_backend", "auto"), for_training
     )
+    fuse_ln_cfg = getattr(m, "fuse_ln", "auto")
+    fuse_ln = use_pallas and (
+        not for_training if fuse_ln_cfg == "auto" else bool(fuse_ln_cfg))
     return {
         # token-major attention (tokmaj) is forward-only — inference builds
         "vit_c": VisionTransformer(
@@ -55,14 +58,14 @@ def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
             num_heads=m.num_heads, hidden_dim=m.hidden_dim,
             mlp_dim=m.mlp_dim, pos_embedding=True, attn_mode=m.attn_mode,
             use_pallas=use_pallas, tokmaj=not for_training,
-            fuse_ln=use_pallas and not for_training,
+            fuse_ln=fuse_ln,
         ),
         "vit_s": VisionTransformer(
             patch_size=m.patch_size, num_layers=m.num_layers,
             num_heads=m.num_heads, hidden_dim=m.hidden_dim,
             mlp_dim=m.mlp_dim, pos_embedding=False, attn_mode=m.attn_mode,
             use_pallas=use_pallas, tokmaj=not for_training,
-            fuse_ln=use_pallas and not for_training,
+            fuse_ln=fuse_ln,
         ),
         "adaFormer": AdaFormer(
             num_layers=m.num_layers, num_heads=m.num_heads,

@@ -44,3 +44,53 @@ def test_encoder_block_fuse_ln_matches_unfused():
         got = fused.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_ln_matmul_vjp_matches_unfused_grads():
+    """Gradients through the fused kernel's custom VJP (closed-form XLA
+    backward, LN rematerialised) vs autodiff of the unfused path — all five
+    inputs (x, LN scale/bias, w, b)."""
+    b, n, e, f = 1, 512, 128, 256
+    x = jnp.asarray(RNG.standard_normal((b, n, e)), jnp.float32)
+    s = jnp.asarray(RNG.standard_normal((e,)) * 0.1 + 1.0, jnp.float32)
+    sb = jnp.asarray(RNG.standard_normal((e,)) * 0.1, jnp.float32)
+    w = jnp.asarray(RNG.standard_normal((e, f)) / np.sqrt(e), jnp.float32)
+    bias = jnp.asarray(RNG.standard_normal((f,)) * 0.1, jnp.float32)
+
+    def loss_ref(args):
+        x, s, sb, w, bias = args
+        return jnp.sum(jnp.sin(layer_norm_fn(x, s, sb) @ w + bias))
+
+    def loss_fused(args):
+        x, s, sb, w, bias = args
+        return jnp.sum(jnp.sin(ln_matmul(x, s, sb, w, bias)))
+
+    g_ref = jax.grad(loss_ref)((x, s, sb, w, bias))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_fused)((x, s, sb, w, bias))
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_encoder_block_fuse_ln_grads_match():
+    """EncoderBlock(fuse_ln=True) gradients == unfused — the training-build
+    A/B precondition (PERF round-4)."""
+    from mhada_tpu.models.vit import EncoderBlock
+
+    x = jnp.asarray(RNG.standard_normal((1, 512, 128)), jnp.float32)
+    plain = EncoderBlock(num_heads=2, mlp_dim=256)
+    fused = EncoderBlock(num_heads=2, mlp_dim=256, fuse_ln=True)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p, mod):
+        return jnp.sum(jnp.sin(mod.apply({"params": p}, x) * 0.1))
+
+    g_ref = jax.grad(loss)(params, plain)
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss)(params, fused)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_got = jax.tree.leaves(g_got)
+    for a, b_ in zip(flat_got, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=2e-3)
