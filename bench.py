@@ -177,6 +177,41 @@ def vit_kernel_parity_gate():
               file=sys.stderr)
         assert mx < bound, f"tokmaj attention parity FAILED: max {mx}"
 
+    # wide transposed streaming kernel (the L > 4096 tokmaj path — engaged
+    # by the fps_1024 protocol) vs the head-major streaming kernel at the
+    # 1024^2 production shape
+    N2 = 16384
+    qkv2_np = rng.standard_normal((B, N2, 3 * E)) * 0.5
+
+    def make_wide_err(dtype):
+        from mhada_tpu.ops.attention_pallas import attention_stream_wide
+
+        @jax.jit
+        def err(qkv):
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = (
+                t.reshape(B, N2, H, d).transpose(0, 2, 1, 3)
+                for t in (q, k, v)
+            )
+            hm = attention_pallas(q, k, v, scale)
+            hm = hm.transpose(0, 2, 1, 3).reshape(B, N2, E)
+            wd = attention_stream_wide(qkv, scale, H)
+            e = jnp.abs(wd.astype(jnp.float32) - hm.astype(jnp.float32))
+            return jnp.max(e), jnp.mean(e)
+
+        return err
+
+    # scripts/wide_probe.py measured bf16 max 6.1e-5 at this shape — the
+    # wide kernel computes P@V in a different order (O^T accumulation),
+    # so the kernels differ by rounding only
+    for dtype, bound in ((jnp.float32, 1e-3), (jnp.bfloat16, 3e-2)):
+        qkv2 = commit_to_device(jnp.asarray(qkv2_np, dtype))
+        mx, mean = (float(x) for x in make_wide_err(dtype)(qkv2))
+        print(f"wide-vs-headmajor streaming attention {dtype.__name__} @ "
+              f"(1,16384,8x64): max={mx:.2e} mean={mean:.2e} (max<{bound})",
+              file=sys.stderr)
+        assert mx < bound, f"wide streaming attention parity FAILED: {mx}"
+
     # ln_matmul: both pre-LN sites per encoder block use it on inference
     # builds (models/layers.py); compare against the unfused f32-LN + matmul
     # on the qkv-projection shape.

@@ -165,14 +165,23 @@ class MultiHeadSelfAttention(nn.Module):
                        + qkv_bias.astype(h.dtype))
         else:
             qkv = x @ qkv_kernel.astype(x.dtype) + qkv_bias.astype(x.dtype)
-        # token-major kernel is single-pass (keys VMEM-resident): beyond
-        # L=4096 fall through to the head-major streaming kernel
+        # token-major kernels: single-pass (keys VMEM-resident) up to
+        # L=4096, the wide transposed streaming kernel beyond (full-width
+        # P@V — see ops/attention_pallas.py::attention_stream_wide)
         if (self.tokmaj and self.use_pallas and self.sp_axis is None
-                and 512 <= L <= 4096 and hd == 64 and E % 128 == 0):
-            from ..ops.attention_pallas import attention_pallas_tm
+                and L >= 512 and hd == 64 and E % 128 == 0):
+            if L <= 4096:
+                from ..ops.attention_pallas import attention_pallas_tm
 
-            o = attention_pallas_tm(
-                qkv, scale=1.0 / math.sqrt(hd), num_heads=self.num_heads)
+                o = attention_pallas_tm(
+                    qkv, scale=1.0 / math.sqrt(hd),
+                    num_heads=self.num_heads)
+            else:
+                from ..ops.attention_pallas import attention_stream_wide
+
+                o = attention_stream_wide(
+                    qkv, scale=1.0 / math.sqrt(hd),
+                    num_heads=self.num_heads)
             return TorchLinear(E, zero_bias=True, name="out_proj")(o)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)

@@ -275,6 +275,138 @@ def _attn_stream_fwd_impl(q, k, v, scale, block_n, block_m, with_res):
     return out, lse
 
 
+# ------------------------------------- wide (transposed) streaming forward
+
+
+def _stream_wide_kernel(qt_ref, k_ref, vt_ref, o_ref,
+                        ma_scr, la_scr, mb_scr, lb_scr, acc_scr,
+                        *, scale: float, m_actual: int, tm: int, n_mb: int,
+                        d: int):
+    """Two heads per program, everything transposed (output-major = lanes).
+
+    The head-major streaming kernel's A@V is a (TN, TM) @ (TM, 64) matmul:
+    64 output lanes = half the MXU's 128 columns idle, so P@V costs the
+    same as a 128-wide product (PERF.md roofline: ~51 TF/s ceiling at
+    1024^2).  Computed transposed — L^T = K @ Q^T (TN lanes wide) and
+    O^T = V^T @ P^T ((64, TN): 64 *streamed sublane rows*, full 128-lane
+    output tiles, full-depth TM contraction) — the P@V pass costs half.
+    QK's d=64 contraction (half MXU depth) is irreducible either way.
+
+    Online softmax runs per lane-column: the running max / normaliser are
+    (1, TN) lane vectors broadcast over sublanes, and the tile max/sum are
+    cross-sublane reductions (native on the VPU).
+    """
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        ma_scr[...] = jnp.full(ma_scr.shape, -jnp.inf, ma_scr.dtype)
+        mb_scr[...] = jnp.full(mb_scr.shape, -jnp.inf, mb_scr.dtype)
+        la_scr[...] = jnp.zeros(la_scr.shape, la_scr.dtype)
+        lb_scr[...] = jnp.zeros(lb_scr.shape, lb_scr.dtype)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    k2 = k_ref[0]      # (TM, 128) — two heads' keys, token-major
+    qt2 = qt_ref[0]    # (128, TN) — two heads' queries, channel-major
+    vt2 = vt_ref[0]    # (128, TM) — two heads' values, channel-major
+
+    for s, m_scr, l_scr in ((0, ma_scr, la_scr), (d, mb_scr, lb_scr)):
+        lt = jax.lax.dot_general(
+            k2[:, s:s + d], qt2[s:s + d, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if m_actual % tm != 0:
+            row = jax.lax.broadcasted_iota(jnp.int32, lt.shape, 0) + j * tm
+            lt = jnp.where(row < m_actual, lt, -jnp.inf)
+        m_prev = m_scr[:1, :]
+        m_new = jnp.maximum(m_prev, jnp.max(lt, axis=0, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        pt = jnp.exp(lt - m_new)
+        l_new = l_scr[:1, :] * alpha + jnp.sum(pt, axis=0, keepdims=True)
+        pv = jax.lax.dot_general(
+            vt2[s:s + d, :], pt.astype(vt2.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[s:s + d, :] = acc_scr[s:s + d, :] * alpha + pv
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == n_mb - 1)
+    def _finalize():
+        o_ref[0, :d, :] = (acc_scr[:d, :] / la_scr[:1, :]).astype(o_ref.dtype)
+        o_ref[0, d:, :] = (acc_scr[d:, :] / lb_scr[:1, :]).astype(o_ref.dtype)
+
+
+def attention_stream_wide(qkv, scale: float, num_heads: int,
+                          block_n: int | None = None,
+                          block_m: int | None = None):
+    """Token-major TRANSPOSED streaming self-attention for long sequences:
+    (B, N, 3C) packed qkv -> (B, N, C).
+
+    The long-sequence (L > 4096) counterpart of ``attention_pallas_tm``:
+    heads are contiguous 64-channel slices of the packed qkv (torch MHA
+    packing), two heads per 128-lane program, keys streamed with an online
+    softmax.  Q and V are shipped channel-major ((B, C, N) XLA transposes —
+    one bandwidth pass each) so the P@V product runs transposed at full
+    MXU width; see _stream_wide_kernel.  Forward-only (inference builds —
+    the training path keeps the head-major flash VJP).
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    assert d == 64 and c % 128 == 0, (d, c)
+    pairs = c // 128
+    small = 2 if qkv.dtype.itemsize > 2 else 1
+    if block_n is None:
+        block_n = 512 // small
+    if block_m is None:
+        # scripts/wide_probe.py sweep at N=M=16384 bf16: (512, 4096)
+        # 10.26 ms vs (512, 2048) 10.72 / (256, 4096) 13.53
+        block_m = 4096 // small
+    tn, tm, n_pad, m_pad = _block_sizes(n, n, block_n, block_m)
+    qkv_p = _pad_axis(qkv, 1, max(n_pad, m_pad))
+    qt = qkv_p[:, :, :c].transpose(0, 2, 1)
+    vt = qkv_p[:, :, 2 * c:].transpose(0, 2, 1)
+
+    n_mb = m_pad // tm
+    grid = (b, pairs, n_pad // tn, n_mb)
+    qtspec = pl.BlockSpec((1, 128, tn), lambda i, p, jn, jm: (i, p, jn),
+                          memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, tm, 128),
+                         lambda i, p, jn, jm: (i, jm, pairs + p),
+                         memory_space=pltpu.VMEM)
+    vtspec = pl.BlockSpec((1, 128, tm), lambda i, p, jn, jm: (i, p, jm),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_stream_wide_kernel, scale=scale, m_actual=n,
+                          tm=tm, n_mb=n_mb, d=d),
+        grid=grid,
+        in_specs=[qtspec, kspec, vtspec],
+        out_specs=pl.BlockSpec((1, 128, tn), lambda i, p, jn, jm: (i, p, jn),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, n_pad), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, tn), jnp.float32),
+            pltpu.VMEM((8, tn), jnp.float32),
+            pltpu.VMEM((8, tn), jnp.float32),
+            pltpu.VMEM((8, tn), jnp.float32),
+            pltpu.VMEM((2 * d, tn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (c // 64) * n_pad * m_pad * 64 * 2,
+            bytes_accessed=2 * b * n_pad * (c3 + c),
+            transcendentals=b * (c // 64) * n_pad * m_pad,
+        ),
+    )(qt, qkv_p, vt)
+    return out[:, :, :n].transpose(0, 2, 1)
+
+
 # ------------------------------------------------ streaming backward kernels
 
 

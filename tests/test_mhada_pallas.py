@@ -257,6 +257,42 @@ def test_vit_attention_streaming_matches_naive():
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "n,tn,tm,dtype",
+    [
+        (512, 128, 512, jnp.float32),    # single key block
+        (640, 128, 256, jnp.float32),    # multi-block stream + masked tail
+        (768, 256, 256, jnp.bfloat16),   # bf16, aligned
+    ],
+)
+def test_vit_attention_stream_wide_matches_naive(n, tn, tm, dtype):
+    """Wide transposed streaming kernel (two heads per program, O^T
+    accumulation) vs the naive einsum on the packed qkv layout."""
+    import math
+
+    from mhada_tpu.ops.attention_pallas import attention_stream_wide
+
+    rng = np.random.default_rng(n)
+    c = 128  # 2 heads x 64
+    qkv = jnp.asarray(rng.standard_normal((2, n, 3 * c)), dtype)
+    q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(2, n, 2, 64).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / math.sqrt(64)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", heads(q), heads(k)) * scale
+    a = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", a, heads(v))
+    ref = ref.transpose(0, 2, 1, 3).reshape(2, n, c)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_stream_wide(qkv, scale=scale, num_heads=2,
+                                    block_n=tn, block_m=tm)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 5e-5
+    np.testing.assert_allclose(np.asarray(got, jnp.float32),
+                               np.asarray(ref), atol=tol, rtol=1e-2)
+
+
 def test_vit_attention_streaming_vjp_matches_naive_grads():
     from mhada_tpu.ops.attention_pallas import attention_pallas
 
