@@ -201,16 +201,21 @@ def vit_kernel_parity_gate():
 
         return err
 
-    # scripts/wide_probe.py measured bf16 max 6.1e-5 at this shape — the
-    # wide kernel computes P@V in a different order (O^T accumulation),
-    # so the kernels differ by rounding only
-    for dtype, bound in ((jnp.float32, 1e-3), (jnp.bfloat16, 3e-2)):
+    # scripts/wide_probe.py measured bf16 max 6.1e-5 / mean 2.3e-6 at this
+    # shape — the wide kernel computes P@V in a different order (O^T
+    # accumulation), so the kernels differ by rounding only.  Both max and
+    # mean are gated (advisor r4: the old 3e-2 bf16 bound was ~500x loose).
+    for dtype, bound, mean_bound in (
+        (jnp.float32, 1e-3, 1e-4), (jnp.bfloat16, 1e-3, 1e-4)
+    ):
         qkv2 = commit_to_device(jnp.asarray(qkv2_np, dtype))
         mx, mean = (float(x) for x in make_wide_err(dtype)(qkv2))
         print(f"wide-vs-headmajor streaming attention {dtype.__name__} @ "
-              f"(1,16384,8x64): max={mx:.2e} mean={mean:.2e} (max<{bound})",
-              file=sys.stderr)
+              f"(1,16384,8x64): max={mx:.2e} mean={mean:.2e} (max<{bound} "
+              f"mean<{mean_bound})", file=sys.stderr)
         assert mx < bound, f"wide streaming attention parity FAILED: {mx}"
+        assert mean < mean_bound, (
+            f"wide streaming attention mean parity FAILED: {mean}")
 
     # ln_matmul: both pre-LN sites per encoder block use it on inference
     # builds (models/layers.py); compare against the unfused f32-LN + matmul
@@ -451,8 +456,13 @@ def main():
     rs_max, rs_rel = (float(x) for x in
                       kv_path_err(params_rs, contents[0], style, kv_rs))
     print(f"KV-cached 6-block chain at logit std ~1 (f32): max={rs_max:.2e} "
-          f"rel_mean={rs_rel:.2e}", file=sys.stderr)
+          f"rel_mean={rs_rel:.2e} (max<2.0)", file=sys.stderr)
     assert rs_rel < 1e-2, f"fast-path parity FAILED: rel_mean {rs_rel}"
+    # Chain-level MAX gate (VERDICT r4 #6): with every block bitwise-equal
+    # (gates below), the chain divergence is pure compounding of unscaled-
+    # softmax argmax flips — measured 0.66 at std~1 (r4); <2.0 is free
+    # insurance against O(10) blowups that rel_mean alone could miss.
+    assert rs_max < 2.0, f"fast-path chain max parity FAILED: {rs_max}"
 
     # Elementwise MAX is only a stable statistic per block: the 6-block
     # chain of instance norms + UNSCALED softmax amplifies the ~1e-3
@@ -548,6 +558,7 @@ def main():
               file=sys.stderr)
         assert mx < bound, f"mega tail parity FAILED: max {mx}"
 
+    kv_b1 = commit_to_device(kv)  # untiled (B=1) for the fps_b1 protocol
     kv = commit_to_device([
         (jnp.tile(k, (CHUNK, 1, 1)), jnp.tile(v, (CHUNK, 1, 1)))
         for k, v in kv
@@ -567,10 +578,79 @@ def main():
         windows.append(n_chunks * CHUNK / (time.perf_counter() - t0))
     fps = float(np.median(windows))
 
+    # Honest interactive B=1 latency (VERDICT r4 #5; reference protocol
+    # infer_time.py:64-87): KV-cached steady state, ONE frame per dispatch,
+    # result awaited before the next frame is submitted (a live-preview
+    # consumer needs frame i back before frame i+1).  Includes the ~1.5 ms
+    # tunnel RTT a co-located host would not pay — so also measure the
+    # QUEUED B=1 number (sync once per window): that is the device time a
+    # co-located pipeline would sustain at B=1.
+    s = stylize_chunk(params, contents[0], kv_b1)
+    _ = float(s)
+    b1_sync = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for i in range(24):
+            s = stylize_chunk(params, contents[i % n_inputs], kv_b1)
+            _ = float(s)  # per-frame sync: the interactive protocol
+        b1_sync.append(24 / (time.perf_counter() - t0))
+    fps_b1 = float(np.median(b1_sync))
+    b1_queued = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for i in range(48):
+            s = stylize_chunk(params, contents[i % n_inputs], kv_b1)
+        _ = float(s)
+        b1_queued.append(48 / (time.perf_counter() - t0))
+    fps_b1_queued = float(np.median(b1_queued))
+    print(f"B=1 steady state: {fps_b1:.2f} fps sync-per-frame "
+          f"({1e3 / fps_b1:.1f} ms), {fps_b1_queued:.2f} fps queued "
+          f"({1e3 / fps_b1_queued:.1f} ms device time)", file=sys.stderr)
+
     # Sustained end-to-end transcode (host decode + transfers included).
     style_np = np.asarray(rng.uniform(0, 255, (512, 512, 3)), np.float32)
     transcode_fps, transcode_lo, transcode_hi = transcode_bench(
         models, params, style_np)
+
+    # Sustained COMPUTE-side transcode (VERDICT r4 #4): the same video-path
+    # per-chunk program (uint8 in -> f32 -> stylize -> uint8 out,
+    # infer/video.py::stylize_u8) over a DEVICE-RESIDENT ring of the whole
+    # synthetic clip (192 frames, 24 chunks, ~151 MB uint8).  This measures
+    # what the chip sustains when frame I/O is local/overlapped — replacing
+    # PERF.md's "co-located ~135 fps" projection with a measurement.  The
+    # tunnel-bound end-to-end number above stays reported alongside.
+    @jax.jit
+    def transcode_chunk_u8(params, frames_u8, kv):
+        out = base_kv(params, frames_u8.astype(jnp.float32), kv)
+        return jnp.sum(out.astype(jnp.uint8).astype(jnp.int32))
+
+    yy, xx = np.mgrid[0:512, 0:512].astype(np.float32)
+    ring = []
+    for c0 in range(0, 192, CHUNK):
+        chunk_np = np.stack([
+            np.stack([
+                127 + 120 * np.sin(xx / 40 + t / 5.0),
+                127 + 120 * np.sin(yy / 33 - t / 7.0),
+                127 + 120 * np.sin((xx + yy) / 57 + t / 11.0),
+            ], axis=-1).astype(np.uint8)
+            for t in range(c0, c0 + CHUNK)
+        ])
+        ring.append(commit_to_device(jnp.asarray(chunk_np)))
+    s = transcode_chunk_u8(params, ring[0], kv)
+    _ = float(s)
+    ring_windows = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for ch in ring:
+            s = transcode_chunk_u8(params, ch, kv)
+        _ = float(s)  # in-order queue: one readback fences all 24 chunks
+        ring_windows.append(len(ring) * CHUNK / (time.perf_counter() - t0))
+    sustained_compute_fps = float(np.median(ring_windows))
+    print(f"sustained compute transcode (device-resident 192-frame ring, "
+          f"u8 in/out): median {sustained_compute_fps:.2f} fps over 3 "
+          f"passes [{min(ring_windows):.2f}, {max(ring_windows):.2f}]",
+          file=sys.stderr)
+    del ring
 
     # 1024^2 as a first-class measured path (VERDICT r2 #5): same streaming
     # protocol (style KV hoisted), flash key-streaming kernels engage
@@ -627,6 +707,12 @@ def main():
                 # tunnel-bandwidth-bound, ~2x run-to-run variance (PERF.md)
                 "sustained_transcode_fps_spread": [
                     round(transcode_lo, 2), round(transcode_hi, 2)],
+                # compute-side sustained (device-resident frame ring,
+                # uint8 in/out on-chip — what co-located I/O would sustain)
+                "sustained_compute_fps": round(sustained_compute_fps, 2),
+                # honest interactive latency: B=1, result awaited per frame
+                "fps_b1": round(fps_b1, 2),
+                "fps_b1_queued": round(fps_b1_queued, 2),
                 "fps_1024": round(fps_1k, 2),
             }
         )

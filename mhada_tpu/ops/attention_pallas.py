@@ -366,6 +366,9 @@ def attention_stream_wide(qkv, scale: float, num_heads: int,
         # 10.26 ms vs (512, 2048) 10.72 / (256, 4096) 13.53
         block_m = 4096 // small
     tn, tm, n_pad, m_pad = _block_sizes(n, n, block_n, block_m)
+    # qkv is padded once to max(n_pad, m_pad); every Pallas block shape must
+    # divide that padded token axis, which holds iff tn divides tm.
+    assert tm % tn == 0, (tn, tm)
     qkv_p = _pad_axis(qkv, 1, max(n_pad, m_pad))
     qt = qkv_p[:, :, :c].transpose(0, 2, 1)
     vt = qkv_p[:, :, 2 * c:].transpose(0, 2, 1)
@@ -400,7 +403,11 @@ def attention_stream_wide(qkv, scale: float, num_heads: int,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (c // 64) * n_pad * m_pad * 64 * 2,
-            bytes_accessed=2 * b * n_pad * (c3 + c),
+            # Q read + O write (one pass each) PLUS the K/V streams, which
+            # the kernel re-fetches in full once per query block (the
+            # dominant term at long N: ~n_pad/tn full K+V passes).
+            bytes_accessed=qkv.dtype.itemsize * b * (
+                2 * c * n_pad + (n_pad // tn) * m_pad * 2 * c),
             transcendentals=b * (c // 64) * n_pad * m_pad,
         ),
     )(qt, qkv_p, vt)
