@@ -177,6 +177,74 @@ def test_tp_train_step_matches_single_device():
         )
 
 
+def test_video_dp_train_step_matches_single_device():
+    """One VIDEO train step on a (4, 2) dp x tp mesh must reproduce the
+    single-device step (VERDICT r4 #3): the warp gather and the masked
+    nnz-normalised temporal means (reference lossfn.py:50-86,
+    utilities.py:100-151) must be shard-invariant under a dp-sharded
+    (style, c1, c2, flow, mask) batch."""
+    from mhada_tpu.parallel import make_mesh, shard_batch, shard_params, replicate
+    from mhada_tpu.train.train_image import init_params, make_optimizer
+    from mhada_tpu.train.train_image import TrainState
+
+    cfg = VideoTrainConfig(
+        model=TINY, batch_size=4, style_size=(32, 32), content_size=(32, 64)
+    )
+    icfg = ImageTrainConfig(model=TINY, batch_size=4, image_size=(32, 32))
+    params = init_params(jax.random.PRNGKey(0), icfg)
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params["trainable"],
+        opt_state=tx.init(params["trainable"]),
+    )
+    step = make_video_train_step(cfg, donate=False)
+    rng = np.random.default_rng(11)
+    style = rng.uniform(0, 255, (4, 32, 32, 3)).astype(np.float32)
+    c1 = rng.uniform(0, 255, (4, 32, 64, 3)).astype(np.float32)
+    c2 = rng.uniform(0, 255, (4, 32, 64, 3)).astype(np.float32)
+    flow = rng.standard_normal((4, 32, 64, 2)).astype(np.float32) * 2.0
+    # adversarial mask: one sample fully occluded (empty-mask guard must be
+    # identical under sharding), the rest sparse
+    mask = (rng.uniform(size=(4, 32, 64)) > 0.5).astype(np.float32)
+    mask[1] = 0.0
+
+    ref_state, ref_m = step(
+        state, params["vgg19"], *map(jnp.asarray, (style, c1, c2, flow, mask))
+    )
+
+    mesh = make_mesh(4, 2)
+    sh_params = shard_params(mesh, state.params)
+    assert any(
+        len(x.sharding.device_set) == 8 and
+        x.sharding.spec != jax.sharding.PartitionSpec()
+        for x in jax.tree_util.tree_leaves(sh_params)
+    ), "TP rules matched nothing — test would be vacuous"
+    sh_state = TrainState(
+        step=state.step, params=sh_params, opt_state=tx.init(sh_params),
+    )
+    vgg_sh = replicate(mesh, params["vgg19"])
+    sb, c1b, c2b, fb, mb = shard_batch(mesh, (style, c1, c2, flow, mask))
+    new_state, m = step(sh_state, vgg_sh, sb, c1b, c2b, fb, mb)
+
+    for k in ref_m:
+        # psum reduction order vs single-device accumulation: the deep
+        # identity-loss chains (5 VGG scales) wander ~1e-4 rel; a real
+        # shard-variance bug (e.g. per-shard nnz normalisation) is O(1)
+        np.testing.assert_allclose(float(m[k]), float(ref_m[k]), rtol=5e-4,
+                                   atol=1e-6, err_msg=k)
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    dp_leaves = jax.tree_util.tree_leaves_with_path(new_state.params)
+    for (pa, a), (pb, b) in zip(ref_leaves, dp_leaves):
+        assert pa == pb
+        # Adam's first step moves params by ~±lr (1e-4); where a gradient is
+        # ~0, psum reduction-order rounding can flip the update sign -> 2e-4.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 def test_loader_early_stop_no_hang():
     """Breaking out of a DataLoader iteration must not wedge the producer."""
     import time
