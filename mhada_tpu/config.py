@@ -27,6 +27,11 @@ class ModelConfig:
     # round 4): "auto" = TPU inference builds only; True/False force
     # both/neither build kind (the A/B knob for training, PERF.md).
     fuse_ln: str | bool = "auto"
+    # decoder mode for TRAINING builds (inference always uses "mega"):
+    # "auto" = the differentiable megakernel tail ("mega_train",
+    # ops/decoder_tail_pallas.py::tail3_train) on TPU; "col" forces the
+    # round-3/4 XLA col-packed path (the A/B knob, PERF.md round-5).
+    train_decoder: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -183,7 +183,11 @@ class Decoder(nn.Module):
     - ``"mega"``: the ENTIRE tail (up3 conv + 2x bilinear upsample + c5 +
       c6) as one fused Pallas kernel (ops/decoder_tail_pallas.py::
       tail3_fused) — one HBM read of the c4 activation, one write of the
-      RGB output.  TPU-only, forward-only (inference builds).
+      RGB output.  TPU-only, forward-only (inference builds);
+    - ``"mega_train"``: the differentiable megakernel (tail3_train):
+      fused forward emitting the VJP residuals, hand-derived XLA col
+      backward — the TPU training default (grad parity pinned in
+      tests/test_decoder_tail.py).
 
     The param tree is identical in all modes."""
 
@@ -203,11 +207,17 @@ class Decoder(nn.Module):
             return ConvReLU(3, name="c6")(x)
 
         if isinstance(self.packed, str) and self.packed.startswith("mega"):
-            from ..ops.decoder_tail_pallas import tail3_fused
-
             ku, bu = _ConvHolder(64, name="up3")(x.shape[-1])
             k5, b5 = _ConvHolder(64, name="c5")(64)
             k6, b6 = _ConvHolder(3, name="c6")(64)
+            if self.packed == "mega_train":
+                from ..ops.decoder_tail_pallas import tail3_train
+
+                return tail3_train(x, ku.astype(x.dtype), bu,
+                                   k5.astype(x.dtype), b5,
+                                   k6.astype(x.dtype), b6)
+            from ..ops.decoder_tail_pallas import tail3_fused
+
             return tail3_fused(x, ku.astype(x.dtype), bu, k5.astype(x.dtype),
                                b5, k6.astype(x.dtype), b6,
                                row_tile=int(self.packed[4:] or 8))

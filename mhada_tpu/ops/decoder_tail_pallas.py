@@ -288,11 +288,12 @@ def _conv9(x, w_ref, j_out, nr, cin2, dt):
     return acc.reshape(nr, j_out, w_ref.shape[1])
 
 
-def _tail3_kernel(
-    xp_hbm, w1_ref, w5_ref, w6_ref, wux_ref, b1_ref, b5_ref, o_ref,
-    xbuf, sem, *, th, n_tiles, j1, j2,
+def _tail3_body(
+    xp_hbm, w1_ref, w5_ref, w6_ref, wux_ref, b1_ref, b5_ref,
+    xbuf, sem, *, th, n_tiles, j1, j2, dt,
 ):
-    dt = o_ref.dtype
+    """Shared kernel body; returns (acc, y1, c5) — the c6 planar accumulator
+    plus the up3 and c5 activations (residuals for the training VJP)."""
     g = pl.program_id(0)
     t = g % n_tiles
     first = t == 0
@@ -393,16 +394,48 @@ def _tail3_kernel(
         off = dy * (j2 + 2) + ux
         acc = acc + jax.lax.slice(
             res, (tap * 8, off), (tap * 8 + 8, off + nout))
-    o_ref[0] = acc.astype(dt)
+    return acc, y1, c5
 
 
-def tail3_fused(x, w_up, b_up, w5, b5, w6, b6, row_tile: int = 8):
+def _tail3_kernel(
+    xp_hbm, w1_ref, w5_ref, w6_ref, wux_ref, b1_ref, b5_ref, o_ref,
+    xbuf, sem, *, th, n_tiles, j1, j2,
+):
+    acc, _, _ = _tail3_body(
+        xp_hbm, w1_ref, w5_ref, w6_ref, wux_ref, b1_ref, b5_ref, xbuf, sem,
+        th=th, n_tiles=n_tiles, j1=j1, j2=j2, dt=o_ref.dtype)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _tail3_kernel_res(
+    xp_hbm, w1_ref, w5_ref, w6_ref, wux_ref, b1_ref, b5_ref,
+    o_ref, y1_ref, c5_ref, xbuf, sem, *, th, n_tiles, j1, j2,
+):
+    """tail3 + residual outputs for the training VJP: each tile's OWNED up3
+    rows (global rows [TH.t, TH.t+TH) = y1[2:2+th]) and c5 rows (global
+    [2TH.t, 2TH.t+2TH) = c5[1:2th+1]) — boundary-fix rows excluded, so the
+    values are exactly the XLA col path's intermediates."""
+    acc, y1, c5 = _tail3_body(
+        xp_hbm, w1_ref, w5_ref, w6_ref, wux_ref, b1_ref, b5_ref, xbuf, sem,
+        th=th, n_tiles=n_tiles, j1=j1, j2=j2, dt=o_ref.dtype)
+    o_ref[0] = acc.astype(o_ref.dtype)
+    y1_ref[0] = y1[2:2 + th].reshape(th * j1, y1.shape[-1])
+    c5_ref[0] = c5[1:2 * th + 1].reshape(2 * th * j2, c5.shape[-1])
+
+
+def tail3_fused(x, w_up, b_up, w5, b5, w6, b6, row_tile: int = 8,
+                with_residuals: bool = False):
     """The whole decoder tail, fused: ``ConvReLU(c6)(ConvReLU(c5)(
     upsample2x(relu(conv(up3)))))`` on the c4 output.
 
     x: (B, H, W, 128) NHWC c4 activations; w_up: (3, 3, 128, 64);
     w5: (3, 3, 64, 64); w6: (3, 3, 64, 3).  Returns (B, 2H, 2W, 3).
     H must be a multiple of ``row_tile``; W of 2.
+
+    ``with_residuals``: also return the interior activations the training
+    VJP needs — ``(rgb, y1p, c5o)`` with y1p (B, H, W/2, 128) the packed
+    post-ReLU up3 conv output and c5o (B, 2H, W, 128) the packed post-ReLU
+    c5 output, both exactly the XLA col path's intermediates.
     """
     from .colpacked import space_to_col
 
@@ -412,10 +445,12 @@ def tail3_fused(x, w_up, b_up, w5, b5, w6, b6, row_tile: int = 8):
     # frames and at f32 (th=8 @ j2=512 bf16 overflows VMEM and crashes the
     # compile helper; th=8 @ j2=256 f32 overflows the 16M scoped limit by
     # ~0.9M — caught by the f32 CLI drive).  Budget = the known-good
-    # th=8 @ win=256 bf16 point.
+    # th=8 @ win=256 bf16 point; the residual outputs' double-buffered
+    # blocks roughly double the per-tile footprint, so halve it.
     row_bytes = win * jnp.dtype(x.dtype).itemsize
-    if row_bytes > 512:
-        th = max(2, row_tile * 512 // row_bytes)
+    budget = 256 if with_residuals else 512
+    if row_bytes > budget:
+        th = max(2, row_tile * budget // row_bytes)
     while hin % th:
         th -= 1
     assert win % 2 == 0, (hin, win, th)
@@ -443,48 +478,82 @@ def tail3_fused(x, w_up, b_up, w5, b5, w6, b6, row_tile: int = 8):
     b1v = jnp.tile(b_up, 2).reshape(1, 128).astype(dt)
     b5v = jnp.tile(b5, 2).reshape(1, 128).astype(dt)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _tail3_kernel, th=th, n_tiles=n_tiles, j1=j1, j2=j2),
-        grid=(b * n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),            # xp3 stays in HBM
-            pl.BlockSpec((9 * 2 * cin, 128), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * 128, 128), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((72, 128), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * 128, 128), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, 2 * th * (j2 + 2)),
-            lambda g: (g, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (b * n_tiles, 8, 2 * th * (j2 + 2)), dt),
-        scratch_shapes=[
-            pltpu.VMEM((2, th + 6, jvp, cin), dt),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * hin
-            * (j1 * 9 * 2 * cin * 128          # up3 (per conv row)
-               + 2 * j2 * 9 * 128 * 128        # c5 (2 rows per conv row)
-               + 2 * (j2 + 2) * 128 * 72),     # c6
-            bytes_accessed=xp3.size * xp3.dtype.itemsize
-            + b * n_tiles * 2 * th * j2 * 8 * jnp.dtype(dt).itemsize,
-            transcendentals=0,
-        ),
-    )(xp3, w1s, w5s, w6s, wux, b1v, b5v)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),            # xp3 stays in HBM
+        pl.BlockSpec((9 * 2 * cin, 128), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9 * 128, 128), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((72, 128), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8 * 128, 128), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    o_spec = pl.BlockSpec(
+        (1, 8, 2 * th * (j2 + 2)), lambda g: (g, 0, 0),
+        memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((b * n_tiles, 8, 2 * th * (j2 + 2)), dt)
+    cost = pl.CostEstimate(
+        flops=2 * b * hin
+        * (j1 * 9 * 2 * cin * 128          # up3 (per conv row)
+           + 2 * j2 * 9 * 128 * 128        # c5 (2 rows per conv row)
+           + 2 * (j2 + 2) * 128 * 72),     # c6
+        bytes_accessed=xp3.size * xp3.dtype.itemsize
+        + b * n_tiles * 2 * th * j2 * 8 * jnp.dtype(dt).itemsize,
+        transcendentals=0,
+    )
+    scratch = [
+        pltpu.VMEM((2, th + 6, jvp, cin), dt),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    cparams = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+
+    if with_residuals:
+        # residual index maps address (grid, row-block, lane): block row
+        # size th*j1 (y1) / 2*th*j2 (c5), one block per grid step
+        n = n_tiles
+        outs = pl.pallas_call(
+            functools.partial(
+                _tail3_kernel_res, th=th, n_tiles=n_tiles, j1=j1, j2=j2),
+            grid=(b * n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                o_spec,
+                pl.BlockSpec((1, th * j1, 128),
+                             lambda g, n=n: (g // n, g % n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * th * j2, 128),
+                             lambda g, n=n: (g // n, g % n, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                o_shape,
+                jax.ShapeDtypeStruct((b, hin * j1, 128), dt),
+                jax.ShapeDtypeStruct((b, 2 * hin * j2, 128), dt),
+            ],
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            cost_estimate=cost,
+        )(xp3, w1s, w5s, w6s, wux, b1v, b5v)
+        out, y1p, c5o = outs
+        y1p = y1p.reshape(b, hin, j1, 128)
+        c5o = c5o.reshape(b, 2 * hin, j2, 128)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _tail3_kernel, th=th, n_tiles=n_tiles, j1=j1, j2=j2),
+            grid=(b * n_tiles,),
+            in_specs=in_specs,
+            out_specs=o_spec,
+            out_shape=o_shape,
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            cost_estimate=cost,
+        )(xp3, w1s, w5s, w6s, wux, b1v, b5v)
 
     # planar (B*n_tiles, 8, 2TH*(j2+2)) -> (B, 2H, 2W, 3); bias + ReLU on
     # the bf16-rounded kernel output (the XLA col path's rounding points);
@@ -493,4 +562,95 @@ def tail3_fused(x, w_up, b_up, w5, b5, w6, b6, row_tile: int = 8):
     out = out.transpose(0, 1, 3, 4, 2).reshape(b, 2 * hin, j2 + 2, 8)
     out = out[:, :, :j2, :6] + jnp.tile(b6, 2).astype(dt)
     out = jnp.maximum(out, 0)
-    return out.reshape(b, 2 * hin, j2, 2, 3).reshape(b, 2 * hin, 2 * j2, 3)
+    rgb = out.reshape(b, 2 * hin, j2, 2, 3).reshape(b, 2 * hin, 2 * j2, 3)
+    if with_residuals:
+        return rgb, y1p, c5o
+    return rgb
+
+
+# ---------------------------------------------------------------------------
+# tail3_train: the megakernel forward made differentiable (round 5)
+# ---------------------------------------------------------------------------
+#
+# Forward = tail3_fused emitting its interior activations (y1p, c5o) as
+# extra outputs; backward = the hand-derived XLA col-path VJP evaluated at
+# those saved residuals: per conv, dX rides jax.vjp of the LINEAR
+# pad+pack+conv segment (linear => the primal recompute is dead code XLA
+# eliminates), ReLU masks come from the saved post-ReLU activations
+# (post > 0 <=> pre > 0), biases fold the two packed slots.  The only
+# recompute is the bilinear upsample of y1p (bandwidth-cheap).  This swaps
+# the training tail's XLA col forward (~2.6 ms/call at the 256^2 B=8 bf16
+# recipe shape, scripts/decoder_bwd_probe.py) for the fused kernel while
+# keeping the measured-good XLA backward.
+
+
+def _conv_packed_linear(xp, w):
+    """The linear part of colpacked_conv_relu: reflect-pad + packed conv
+    (no bias/ReLU).  xp: (B, H, J, 2C); w: original (3, 3, C, Cout)."""
+    from .colpacked import colpack_conv_weights, colpacked_reflect_pad
+
+    wp = colpack_conv_weights(w).astype(xp.dtype)
+    xpad = colpacked_reflect_pad(xp)
+    preferred = jnp.float32 if xp.dtype == jnp.float32 else None
+    return jax.lax.conv_general_dilated(
+        xpad, wp, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
+    ).astype(xp.dtype)
+
+
+def _fold_slot_bias_grad(dz, n, dtype):
+    """Sum a packed cotangent (..., 2n) into the original (n,) bias grad."""
+    s = jnp.sum(dz.reshape(-1, 2, n).astype(jnp.float32), axis=(0, 1))
+    return s.astype(dtype)
+
+
+@jax.custom_vjp
+def tail3_train(x, w_up, b_up, w5, b5, w6, b6):
+    """Differentiable fused decoder tail: megakernel forward, XLA col
+    backward (gradient of the identical col-path math — parity pinned in
+    tests/test_decoder_tail.py::test_tail3_train_grad_matches_col)."""
+    return tail3_fused(x, w_up, b_up, w5, b5, w6, b6)
+
+
+def _tail3_train_fwd(x, w_up, b_up, w5, b5, w6, b6):
+    rgb, y1p, c5o = tail3_fused(
+        x, w_up, b_up, w5, b5, w6, b6, with_residuals=True)
+    return rgb, (x, w_up, b_up, w5, b5, w6, b6, y1p, c5o, rgb)
+
+
+def _tail3_train_bwd(res, g):
+    from .colpacked import (
+        col_to_space, space_to_col, upsample2x_colpacked)
+
+    x, w_up, b_up, w5, b5, w6, b6, y1p, c5o, rgb = res
+    g = g.astype(rgb.dtype)
+
+    # c6: rgb = relu(col_to_space(conv(pad(c5o), w6p)) + b6)
+    dz6u = jnp.where(rgb > 0, g, 0)
+    dz6 = space_to_col(dz6u)                              # (B, 2H, j2, 6)
+    db6 = jnp.sum(dz6u.astype(jnp.float32), axis=(0, 1, 2)).astype(b6.dtype)
+    _, pb6 = jax.vjp(_conv_packed_linear, c5o, w6)
+    dc5o, dw6 = pb6(dz6)
+
+    # c5: c5o = relu(conv(pad(up), w5p) + [b5|b5])
+    dz5 = jnp.where(c5o > 0, dc5o, 0)
+    db5 = _fold_slot_bias_grad(dz5, b5.shape[0], b5.dtype)
+    up = upsample2x_colpacked(col_to_space(y1p))          # cheap recompute
+    _, pb5 = jax.vjp(_conv_packed_linear, up, w5)
+    dup, dw5 = pb5(dz5)
+
+    # bilinear 2x upsample (linear)
+    _, pbu = jax.vjp(lambda y: upsample2x_colpacked(col_to_space(y)), y1p)
+    (dy1p,) = pbu(dup)
+
+    # up3: y1p = relu(conv(pad(space_to_col(x)), w_upp) + [b_up|b_up])
+    dz1 = jnp.where(y1p > 0, dy1p, 0)
+    dbu = _fold_slot_bias_grad(dz1, b_up.shape[0], b_up.dtype)
+    _, pb1 = jax.vjp(
+        lambda xx, w: _conv_packed_linear(space_to_col(xx), w), x, w_up)
+    dx, dwu = pb1(dz1)
+    return dx, dwu, dbu, dw5, db5, dw6, db6
+
+
+tail3_train.defvjp(_tail3_train_fwd, _tail3_train_bwd)

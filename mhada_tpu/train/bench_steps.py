@@ -89,7 +89,7 @@ def bench_video(cfg, steps: int):
 
 
 VARIANTS = ("image_f32", "image_bf16", "image_f32_remat", "video_f32",
-            "video_bf16", "image_bf16_fuseln")
+            "video_bf16", "image_bf16_fuseln", "image_bf16_coldec")
 
 
 def main(argv=None):
@@ -127,6 +127,12 @@ def main(argv=None):
         "image_bf16_fuseln": lambda: bench_image(
             replace(icfg, compute_dtype="bfloat16",
                     model=replace(icfg.model, fuse_ln=True)), args.steps),
+        # A/B of the round-5 differentiable megakernel decoder tail:
+        # this variant forces the round-3/4 XLA col path
+        "image_bf16_coldec": lambda: bench_image(
+            replace(icfg, compute_dtype="bfloat16",
+                    model=replace(icfg.model, train_decoder="col")),
+            args.steps),
     }
     print(f"{'variant':<18} {'ms/step':>9} {'steps/s':>9}")
     for name in args.variants:

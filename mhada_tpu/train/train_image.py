@@ -51,6 +51,14 @@ def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
     fuse_ln_cfg = getattr(m, "fuse_ln", "auto")
     fuse_ln = use_pallas and (
         not for_training if fuse_ln_cfg == "auto" else bool(fuse_ln_cfg))
+    if not use_pallas:
+        packed_decoder = False
+    elif not for_training:
+        packed_decoder = "mega"
+    elif getattr(m, "train_decoder", "auto") == "col":
+        packed_decoder = "col"
+    else:
+        packed_decoder = "mega_train"
     return {
         # token-major attention (tokmaj) is forward-only — inference builds
         "vit_c": VisionTransformer(
@@ -73,10 +81,10 @@ def build_models(cfg, for_training: bool = False) -> Dict[str, Any]:
             # inference: the fused up3+c5+c6 megakernel ("mega",
             # ops/decoder_tail_pallas.py::tail3_fused, forward-only,
             # 2.23 vs 2.64 ms/frame decoder time at B=8 512^2);
-            # training: XLA col packing (differentiable)
-            packed_decoder=(
-                ("col" if for_training else "mega") if use_pallas
-                else False),
+            # training: the differentiable megakernel ("mega_train",
+            # fused forward + hand-derived XLA col backward; "col" via
+            # ModelConfig.train_decoder is the A/B fallback)
+            packed_decoder=packed_decoder,
             # fused IN+Q-projection prologue is forward-only (no VJP) —
             # inference builds only; it engages on the KV-cached path.
             fuse_prologue=use_pallas and not for_training,
