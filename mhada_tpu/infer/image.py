@@ -283,7 +283,7 @@ def make_diagnostic_fn(models: Dict, dtype=jnp.float32):
     return fn
 
 
-def main():
+def main(argv=None):
     from ..train.train_image import build_models
 
     ap = argparse.ArgumentParser(description=__doc__)
@@ -301,7 +301,7 @@ def main():
                     help="default: batch_coupled when loading .pth weights")
     ap.add_argument("--heatmaps", metavar="DIR",
                     help="save feature/head heatmaps (infer_image.py:97-184)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import os
 

@@ -54,14 +54,59 @@ def main():
     gx = jax.jit(jax.grad(loss, argnums=1))          # dX only
     gpx = jax.jit(jax.grad(loss, argnums=(0, 1)))    # dW + dX
 
-    t_f = timeit(fwd, params, fcs, iters=args.iters)
+    t_f0 = timeit(fwd, params, fcs, iters=args.iters)
     t_gx = timeit(gx, params, fcs, iters=args.iters)
     t_gpx = timeit(gpx, params, fcs, iters=args.iters)
-    print(f"decoder[col] fwd:        {t_f*1e3:7.2f} ms", flush=True)
+    t_f = timeit(fwd, params, fcs, iters=args.iters)  # re-time warm
+    print(f"decoder[col] fwd:        {t_f*1e3:7.2f} ms "
+          f"(first pass {t_f0*1e3:.2f})", flush=True)
     print(f"decoder[col] fwd+dX:     {t_gx*1e3:7.2f} ms "
           f"(dX ~ {(t_gx-t_f)*1e3:5.2f})", flush=True)
     print(f"decoder[col] fwd+dX+dW:  {t_gpx*1e3:7.2f} ms "
           f"(dW ~ {(t_gpx-t_gx)*1e3:5.2f})", flush=True)
+
+    # stage-group split: the truncated decoder (up1..c4, ends 128^2 x 128)
+    # vs full — difference = the packed tail's (up3+c5+c6) fwd+bwd share
+    from mhada_tpu.models.decoder import (
+        ConvReLU, ConvReluUp)
+    import flax.linen as nn
+
+    class _Mid(nn.Module):
+        @nn.compact
+        def __call__(self, fcs):
+            x = ConvReluUp(256, name="up1")(fcs)
+            x = ConvReLU(256, name="c1")(x)
+            x = ConvReLU(256, name="c2")(x)
+            x = ConvReLU(256, name="c3")(x)
+            x = ConvReluUp(128, name="up2")(x)
+            return ConvReLU(128, name="c4")(x)
+
+    mid = _Mid()
+    mid_params = {k: params[k] for k in
+                  ("up1", "c1", "c2", "c3", "up2", "c4")}
+
+    def mid_loss(p, x):
+        return jnp.sum(mid.apply({"params": p}, x).astype(jnp.float32))
+
+    t_mid_f = timeit(jax.jit(mid_loss), mid_params, fcs, iters=args.iters)
+    t_mid_g = timeit(jax.jit(jax.grad(mid_loss, argnums=(0, 1))),
+                     mid_params, fcs, iters=args.iters)
+    print(f"decoder mid (up1..c4) fwd:       {t_mid_f*1e3:7.2f} ms", flush=True)
+    print(f"decoder mid (up1..c4) fwd+bwd:   {t_mid_g*1e3:7.2f} ms", flush=True)
+    print(f"=> packed tail (up3+c5+c6) fwd:  {(t_f-t_mid_f)*1e3:7.2f} ms, "
+          f"fwd+bwd: {(t_gpx-t_mid_g)*1e3:7.2f} ms", flush=True)
+
+    # unpacked-tail comparison: does the col packing hurt the backward?
+    dec_u = Decoder(packed=False)
+
+    def loss_u(p, x):
+        return jnp.sum(dec_u.apply({"params": p}, x).astype(jnp.float32))
+
+    t_u_f = timeit(jax.jit(loss_u), params, fcs, iters=args.iters)
+    t_u_g = timeit(jax.jit(jax.grad(loss_u, argnums=(0, 1))), params, fcs,
+                   iters=args.iters)
+    print(f"decoder[unpacked] fwd:     {t_u_f*1e3:7.2f} ms", flush=True)
+    print(f"decoder[unpacked] fwd+bwd: {t_u_g*1e3:7.2f} ms", flush=True)
 
     # f32 dW comparison — is the dW cost a dtype issue?
     params32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
