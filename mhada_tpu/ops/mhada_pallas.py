@@ -724,16 +724,19 @@ def mhada_attention_pallas(q, k, v, fcs_n, block_n: int | None = None,
     the streaming forward (saving M1/E2 + row lse) and two flash-style
     backward kernels — nothing materialises the (N, M) attention matrix.
 
-    Default tiles: single-pass (256, m); streaming (512, 2048) — measured
-    57.6 vs 30.8 TF/s for (256, 512) at 1024^2 on v5e (more rows amortise
-    the per-key-block online-softmax rescale; bigger key blocks cut the
-    number of rescale passes).  Halved for f32 (VMEM).
+    Default tiles: single-pass (256, m); streaming (512, 2048), widened to
+    (1024, 2048) query rows once the key set is deep (M >= 8192) — the
+    round-5 sweep (scripts/stream_tile_probe.py at N=M=16384 bf16):
+    (1024, 2048) 11.12 ms / 74.2 TF/s vs the old (512, 2048) 12.53 / 65.8;
+    halving the grid steps amortises the ~15 us/step Pallas floor
+    scripts/mxu_probe.py measured.  Halved for f32 (VMEM).
     """
     if streaming is None:
         streaming = k.shape[2] > SINGLE_PASS_MAX_M
     small = 2 if q.dtype.itemsize > 2 else 1
     if block_n is None:
-        block_n = (512 if streaming else 256) // small
+        deep = streaming and k.shape[2] >= 8192
+        block_n = ((1024 if deep else 512) if streaming else 256) // small
     if block_m is None:
         block_m = 2048 // small
     return _mhada_custom(q, k, v, fcs_n, block_n, block_m, bool(streaming))

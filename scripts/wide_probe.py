@@ -64,8 +64,12 @@ def main():
     ref = np.asarray(hm(q, k, v), jnp.float32)  # (B, H, n, D)
     ref = ref.transpose(0, 2, 1, 3).reshape(B, n, C)
 
+    # round-5 additions: the mxu_probe found a ~15 us/grid-step floor at
+    # these block sizes — larger tm (fewer key-block steps) tests whether
+    # the kernel is per-step-overhead-bound.  tm % tn == 0 required.
     for tn, tm in ((512, 2048), (256, 2048), (512, 4096), (1024, 2048),
-                   (256, 4096), (512, 1024)):
+                   (256, 4096), (512, 1024), (512, 8192), (1024, 4096),
+                   (1024, 8192), (2048, 4096)):
         wide = jax.jit(lambda qkv, tn=tn, tm=tm: AP.attention_stream_wide(
             qkv, scale, H, block_n=tn, block_m=tm))
         try:
