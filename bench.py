@@ -526,7 +526,9 @@ def main():
     from mhada_tpu.models.decoder import Decoder
 
     dec_params = {"params": params["adaFormer"]["decoder"]}
-    dec_mega = Decoder(packed="mega")
+    # mega_min_grid=0: the gate must exercise the KERNEL even at B=1
+    # (production B=1 routes to col via the small-grid fallback)
+    dec_mega = Decoder(packed="mega", mega_min_grid=0)
     dec_col = Decoder(packed="col")
 
     @jax.jit

@@ -7,6 +7,7 @@ layer is conv+ReLU (NOT tanh — reference conv.py:93): outputs live in
 """
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from .layers import TorchConv, torch_uniform_init
 from ..ops.pad_conv import reflect_pad2d
@@ -189,9 +190,18 @@ class Decoder(nn.Module):
       backward — the TPU training default (grad parity pinned in
       tests/test_decoder_tail.py).
 
-    The param tree is identical in all modes."""
+    The param tree is identical in all modes.
+
+    ``mega_min_grid``: "mega" falls back to the XLA col path when the
+    megakernel's grid (B * H/th steps) is smaller than this — below ~64
+    steps its serialized manual-DMA pipeline never fills and it loses to
+    col (B=1 512^2: mega ~9.4 vs col ~8.9 ms in-graph; 15.5 vs 13.0
+    sync-per-frame — scripts/tpu_probe.py --batch 1, round 5).  B is a
+    static trace dimension, so the route is decided at trace time.  Set 0
+    to force the kernel (parity gates/tests)."""
 
     packed: bool | str = False
+    mega_min_grid: int = 64
 
     @nn.compact
     def __call__(self, fcs):
@@ -207,22 +217,41 @@ class Decoder(nn.Module):
             return ConvReLU(3, name="c6")(x)
 
         if isinstance(self.packed, str) and self.packed.startswith("mega"):
-            ku, bu = _ConvHolder(64, name="up3")(x.shape[-1])
-            k5, b5 = _ConvHolder(64, name="c5")(64)
-            k6, b6 = _ConvHolder(3, name="c6")(64)
+            rt = 8 if self.packed in ("mega", "mega_train") \
+                else int(self.packed[4:])
+            # Small-grid fallback — see the class docstring (mega_min_grid);
+            # th mirrors tail3_fused's VMEM-budget row-tile shrink.
+            b, hin, win = x.shape[0], x.shape[1], x.shape[2]
+            row_bytes = win * jnp.dtype(x.dtype).itemsize
+            th = rt if row_bytes <= 512 else max(2, rt * 512 // row_bytes)
+            while hin % th:
+                th -= 1
+            if (self.packed != "mega_train"
+                    and b * (hin // th) >= self.mega_min_grid):
+                from ..ops.decoder_tail_pallas import tail3_fused
+
+                ku, bu = _ConvHolder(64, name="up3")(x.shape[-1])
+                k5, b5 = _ConvHolder(64, name="c5")(64)
+                k6, b6 = _ConvHolder(3, name="c6")(64)
+                return tail3_fused(x, ku.astype(x.dtype), bu,
+                                   k5.astype(x.dtype), b5,
+                                   k6.astype(x.dtype), b6, row_tile=rt)
             if self.packed == "mega_train":
                 from ..ops.decoder_tail_pallas import tail3_train
 
+                ku, bu = _ConvHolder(64, name="up3")(x.shape[-1])
+                k5, b5 = _ConvHolder(64, name="c5")(64)
+                k6, b6 = _ConvHolder(3, name="c6")(64)
                 return tail3_train(x, ku.astype(x.dtype), bu,
                                    k5.astype(x.dtype), b5,
                                    k6.astype(x.dtype), b6)
-            from ..ops.decoder_tail_pallas import tail3_fused
+            # fall through to the col path (identical param tree)
+            self_packed_col = True
+        else:
+            self_packed_col = False
 
-            return tail3_fused(x, ku.astype(x.dtype), bu, k5.astype(x.dtype),
-                               b5, k6.astype(x.dtype), b6,
-                               row_tile=int(self.packed[4:] or 8))
-
-        mode = "2x2" if self.packed in (True, "2x2") else "col"
+        mode = ("col" if self_packed_col
+                else "2x2" if self.packed in (True, "2x2") else "col")
         xp = ConvReluUpPacked(64, mode=mode, name="up3")(x)
         if self.packed == "col_tail":
             from ..ops.decoder_tail_pallas import c6_transposed

@@ -86,7 +86,7 @@ def test_tail3_fused_exact():
 
     fcs = jnp.asarray(RNG.standard_normal((1, 4, 4, 512)), jnp.bfloat16)
     col = Decoder(packed="col")
-    mega = Decoder(packed="mega")
+    mega = Decoder(packed="mega", mega_min_grid=0)  # force the kernel
     params = col.init(jax.random.PRNGKey(1),
                       fcs.astype(jnp.float32))["params"]
     ref = col.apply({"params": params}, fcs)
