@@ -674,7 +674,12 @@ def _attn_custom(q, k, v, scale, block_n, block_m, streaming):
 
 
 def _attn_fwd(q, k, v, scale, block_n, block_m, streaming):
-    out, lse = _attn_stream_fwd_impl(q, k, v, scale, block_n, block_m,
+    # Training forward: widen the query tile to 1024 rows (512 f32) — the
+    # r5 fwd-tile A/B at the training shape (N=M=1024 B=8 bf16,
+    # /tmp-pattern interleaved) reads vit[1024] 1.18-1.29 vs vit[256]
+    # 1.24-1.58 ms at the dispatch floor; never slower, fewer grid steps.
+    tn = max(block_n, 1024 // (2 if q.dtype.itemsize > 2 else 1))
+    out, lse = _attn_stream_fwd_impl(q, k, v, scale, tn, block_m,
                                      with_res=True)
     return out, (q, k, v, out, lse)
 

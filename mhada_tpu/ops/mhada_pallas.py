@@ -691,8 +691,11 @@ def _mhada_custom(q, k, v, fcs_n, block_n, block_m, streaming):
 
 
 def _mhada_fwd(q, k, v, fcs_n, block_n, block_m, streaming):
+    # Training forward: widen the query tile (1024 bf16 / 512 f32) — same
+    # r5 fwd-tile A/B rationale as attention_pallas._attn_fwd.
+    tn = max(block_n, 1024 // (2 if q.dtype.itemsize > 2 else 1))
     out, m1e2, lse = _mhada_stream_fwd_impl(
-        q, k, v, fcs_n, block_n, block_m, with_res=True)
+        q, k, v, fcs_n, tn, block_m, with_res=True)
     return out, (q, k, v, fcs_n, m1e2, lse)
 
 
