@@ -12,6 +12,7 @@ no (N, M) matrix ever hits HBM, forward or backward.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -553,7 +554,10 @@ def _bwd_dkv_kernel(k_ref, v_ref, q_ref, g_ref, lse_ref, delta_ref,
         dv_ref[0] = acc_dv[...].astype(dv_ref.dtype)
 
 
-def _attn_stream_bwd_impl(q, k, v, out, lse, g, scale, block_n, block_m):
+def _attn_stream_bwd_impl(q, k, v, out, lse, g, scale, block_n, block_m,
+                          g_f32: bool = False):
+    # g_f32=True restores the pre-r5 f32-shipped gradient (A/B hook for
+    # scripts/bwd_qtile_probe.py only — measured 4x slower dV/dA matmuls).
     b, h, n, d = q.shape
     m = k.shape[2]
     bh = b * h
@@ -566,7 +570,14 @@ def _attn_stream_bwd_impl(q, k, v, out, lse, g, scale, block_n, block_m):
     qf = _pad_axis(q.reshape(bh, n, d), 1, n_pad)
     kf = _pad_axis(k.reshape(bh, m, d), 1, m_pad)
     vf = _pad_axis(v.reshape(bh, m, d), 1, m_pad)
-    gp = _pad_axis(gf.reshape(bh, n, d), 1, n_pad)
+    # Ship the output gradient in the INPUT dtype (flash-bwd convention:
+    # dO in compute precision, f32 accumulation).  The old f32 gp made the
+    # kernels' dV = P^T@G and dA = G@V^T matmuls run with f32 operands —
+    # multiple MXU passes + 2x DMA; in bf16 training those two are 40% of
+    # the backward FLOPs.  delta above keeps its f32 reduction.
+    gp = _pad_axis(
+        g.astype(jnp.float32 if g_f32 else q.dtype).reshape(bh, n, d),
+        1, n_pad)
     lse_f = jnp.full((bh, n_pad, _LANES), _LSE_PAD, f32)
     lse_f = lse_f.at[:, :n, :].set(lse.reshape(bh, n, 1))
     delta_f = _pad_axis(
@@ -686,6 +697,9 @@ def _attn_fwd(q, k, v, scale, block_n, block_m, streaming):
 
 def _attn_bwd(scale, block_n, block_m, streaming, res, g):
     q, k, v, out, lse = res
+    # trace-time A/B hook (scripts/train_qtile_ab.py): ship g in f32 as the
+    # pre-r5 impls did
+    g_f32 = bool(int(os.environ.get("MHADA_BWD_G_F32", "0")))
     # Measured tile policy (scripts/bwd_tile_probe.py + the m=2048 A/B):
     #   m <= 1024:        (256, 1024) — combined one-pass kernel, 2.36 ms
     #                     vs 3.46 for the old (256, 512) two-pass
@@ -696,9 +710,11 @@ def _attn_bwd(scale, block_n, block_m, streaming, res, g):
     m = k.shape[2]
     if 1024 < m <= 2048:
         tn = 256 if q.dtype.itemsize > 2 else 512
-        return _attn_stream_bwd_impl(q, k, v, out, lse, g, scale, tn, 2048)
+        return _attn_stream_bwd_impl(q, k, v, out, lse, g, scale, tn, 2048,
+                                     g_f32=g_f32)
     return _attn_stream_bwd_impl(q, k, v, out, lse, g, scale,
-                                 min(block_n, 256), min(block_m, 1024))
+                                 min(block_n, 256), min(block_m, 1024),
+                                 g_f32=g_f32)
 
 
 _attn_custom.defvjp(_attn_fwd, _attn_bwd)

@@ -25,6 +25,7 @@ so it needs no extra pass.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -407,7 +408,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g2_ref, lse_ref, delta_ref,
 
     q = q_ref[0]
     k = k_ref[0]
-    v = v_ref[0].astype(jnp.float32)
+    v = v_ref[0]  # input dtype: vv feeds an MXU matmul (f32 accumulate)
 
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -454,8 +455,8 @@ def _bwd_combined_kernel(q_ref, k_ref, v_ref, g2_ref, lse_ref, delta_ref,
 
     q = q_ref[0]
     k = k_ref[0]
-    v = v_ref[0].astype(jnp.float32)
-    g2 = g2_ref[0]  # (TN, 2D) f32
+    v = v_ref[0]  # input dtype: vv feeds an MXU matmul (f32 accumulate)
+    g2 = g2_ref[0]  # (TN, 2D), input dtype
 
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -510,8 +511,8 @@ def _bwd_dkv_kernel(k_ref, v_ref, q_ref, g2_ref, lse_ref, delta_ref,
     jm = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
-    v = v_ref[0].astype(jnp.float32)
-    g2 = g2_ref[0]  # (TN, 2D)
+    v = v_ref[0]  # input dtype: vv feeds an MXU matmul (f32 accumulate)
+    g2 = g2_ref[0]  # (TN, 2D), input dtype
 
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -547,7 +548,8 @@ def _bwd_dkv_kernel(k_ref, v_ref, q_ref, g2_ref, lse_ref, delta_ref,
 
 
 def _mhada_stream_bwd_impl(q, k, v, fcs_n, m1e2, lse, g,
-                           block_n: int, block_m: int):
+                           block_n: int, block_m: int,
+                           g_f32: bool = False):
     """Flash-style backward: elementwise prologue in XLA, then two kernels."""
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -569,7 +571,15 @@ def _mhada_stream_bwd_impl(q, k, v, fcs_n, m1e2, lse, g,
     # softmax-Jacobian row term: sum_m A_nm dA_nm = d_M1.M1 + d_E2.E2
     delta = jnp.sum(d_m1 * m1 + d_e2 * e2, axis=-1)  # (b, h, n)
 
-    g2 = jnp.concatenate([d_m1, d_e2], axis=-1)  # (b, h, n, 2d) f32
+    # g2 ships in the INPUT dtype (flash-bwd convention: dO in compute
+    # precision, f32 accumulation) — the f32 prologue math above is done,
+    # and keeping g2 f32 made the kernels' dV = P^T@G2 and dA = G2@[V|V^2]^T
+    # matmuls run with f32 operands (multiple MXU passes + 2x DMA); in bf16
+    # training those two are ~57% of the backward FLOPs.
+    # (g_f32=True restores the pre-r5 f32-shipped g2 — A/B hook for
+    # scripts/bwd_qtile_probe.py only.)
+    g2 = jnp.concatenate([d_m1, d_e2], axis=-1).astype(
+        jnp.float32 if g_f32 else q.dtype)
     g2f = _pad_axis(g2.reshape(bh, n, 2 * d), 1, n_pad)
     qf = _pad_axis(q.reshape(bh, n, d), 1, n_pad)
     kf = _pad_axis(k.reshape(bh, m, d), 1, m_pad)
@@ -709,8 +719,11 @@ def _mhada_bwd(block_n, block_m, streaming, res, g):
     # 2.79 for the combined (512, 2048) variant.  f32 halves the query
     # tile (score-tile VMEM).
     tn = 256 if q.dtype.itemsize > 2 else 512
+    # trace-time A/B hook (scripts/train_qtile_ab.py): ship g2 in f32 as
+    # the pre-r5 impls did
+    g_f32 = bool(int(os.environ.get("MHADA_BWD_G_F32", "0")))
     return _mhada_stream_bwd_impl(q, k, v, fcs_n, m1e2, lse, g,
-                                  tn, min(block_m, 1024))
+                                  tn, min(block_m, 1024), g_f32=g_f32)
 
 
 _mhada_custom.defvjp(_mhada_fwd, _mhada_bwd)

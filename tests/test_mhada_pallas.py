@@ -416,3 +416,48 @@ def test_mhada_vjp_two_pass_1024_keyblock_branch():
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-3, rtol=1e-2)
+
+
+def test_bf16_vjp_matches_f32_naive_grads():
+    """bf16 gradients through BOTH kernel families' backward (g shipped in
+    the input dtype — the round-5 flash-bwd-convention change: the old f32
+    ship made dV/dA run f32 MXU matmuls) stay within bf16 rounding of the
+    f32 naive gradients."""
+    from mhada_tpu.ops.attention_pallas import attention_pallas
+
+    q, k, v, f = (x.astype(jnp.bfloat16)
+                  for x in _inputs(1, 2, 256, 256, 64, scale=0.5))
+
+    def loss_naive(args):
+        q, k, v, f = args
+        out = mhada_attention(*(x.astype(jnp.float32)
+                                for x in (q, k, v, f)), "softmax")
+        return jnp.sum(jnp.sin(out))
+
+    def loss_pallas(args):
+        return jnp.sum(jnp.sin(mhada_attention_pallas(*args)))
+
+    g_ref = jax.grad(loss_naive)((q, k, v, f))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas)((q, k, v, f))
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=6e-2, rtol=5e-2)
+
+    def loss_naive2(args):
+        qf, kf, vf = (x.astype(jnp.float32) for x in args)
+        a = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * 0.125, -1)
+        return jnp.sum(jnp.sin(jnp.einsum("bhqk,bhkd->bhqd", a, vf)))
+
+    def loss_pallas2(args):
+        return jnp.sum(jnp.sin(attention_pallas(*args, 0.125)))
+
+    g_ref = jax.grad(loss_naive2)((q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas2)((q, k, v))
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=6e-2, rtol=5e-2)
