@@ -14,6 +14,7 @@ the contiguous head split so it is applied once over the full channel dim.
 Spatial maps are NHWC; attention operates on (B, N, C) tokens.
 """
 
+import os
 from typing import List, Tuple
 
 import jax.numpy as jnp
@@ -107,24 +108,32 @@ class AdaAttnMultiHead(nn.Module):
         if style_kv is None:
             M = fs.shape[1]
             kn = instance_norm_tokens(fs)
-            k = jnp.einsum(
+            k_tok = jnp.einsum(
                 "bmhd,hde->bmhe", kn.reshape(B, M, H, d), gk.astype(dt)
-            ) + gb.astype(dt)
-            v = jnp.einsum(
+            ).reshape(B, M, C) + gb.reshape(C).astype(dt)
+            v_tok = jnp.einsum(
                 "bmhd,hde->bmhe", fs.reshape(B, M, H, d), hk.astype(dt)
-            ) + hb.astype(dt)
-            k = k.transpose(0, 2, 1, 3)
-            v = v.transpose(0, 2, 1, 3)
+            ).reshape(B, M, C) + hb.reshape(C).astype(dt)
         else:
-            k, v = style_kv  # token-major (B, M, C)
-            M = k.shape[1]
-            k = k.reshape(B, M, H, d).transpose(0, 2, 1, 3)
-            v = v.reshape(B, M, H, d).transpose(0, 2, 1, 3)
+            k_tok, v_tok = style_kv  # token-major (B, M, C)
+            M = k_tok.shape[1]
+
+        if (self.use_pallas and self.activation == "softmax"
+                and self.sp_axis is None and d == 64 and C % 128 == 0
+                and M <= 2048
+                and os.environ.get("MHADA_TM_TRAIN", "1") != "0"):
+            # differentiable token-major kernel: q/k/v/fcs_n stay (B, *, C)
+            # — the 5 head-split transposes per block (and their autodiff
+            # mirrors) never exist (ops/mhada_pallas.py::mhada_tm_train)
+            from ..ops.mhada_pallas import mhada_tm_train
+
+            out = mhada_tm_train(q.reshape(B, N, C), k_tok, v_tok, fcs_n, H)
+            return out @ out_kernel.astype(dt) + out_bias.astype(dt)
 
         out = mhada_attention(
             q.transpose(0, 2, 1, 3),
-            k,
-            v,
+            k_tok.reshape(B, M, H, d).transpose(0, 2, 1, 3),
+            v_tok.reshape(B, M, H, d).transpose(0, 2, 1, 3),
             fcs_n.reshape(B, N, H, d).transpose(0, 2, 1, 3),
             activation=self.activation,
             use_pallas=self.use_pallas,

@@ -8,6 +8,7 @@ MultiheadAttention packs qkv with xavier-uniform and zero biases
 """
 
 import math
+import os
 from typing import Callable
 
 import jax
@@ -182,6 +183,19 @@ class MultiHeadSelfAttention(nn.Module):
                 o = attention_stream_wide(
                     qkv, scale=1.0 / math.sqrt(hd),
                     num_heads=self.num_heads)
+            return TorchLinear(E, zero_bias=True, name="out_proj")(o)
+        # differentiable token-major kernel (training builds): channel-
+        # sliced head pairs of the packed qkv, token-major combined
+        # backward — no head-split transposes in XLA, forward or backward
+        # (~0.3-0.6 ms glue per site at the recipe shape, glue_probe.py).
+        # Single-pass keys: L <= 2048 (training token counts); the
+        # MHADA_TM_TRAIN=0 env hook restores the head-major VJP (A/B).
+        if (self.use_pallas and self.sp_axis is None and 512 <= L <= 2048
+                and hd == 64 and E % 128 == 0
+                and os.environ.get("MHADA_TM_TRAIN", "1") != "0"):
+            from ..ops.attention_pallas import attention_tm_train
+
+            o = attention_tm_train(qkv, 1.0 / math.sqrt(hd), self.num_heads)
             return TorchLinear(E, zero_bias=True, name="out_proj")(o)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)

@@ -170,6 +170,244 @@ def attention_pallas_tm(qkv, scale: float, num_heads: int,
     return out[:, :n]
 
 
+# ----------------------------------- token-major TRAINING attention (VJP)
+
+
+def _tm_res_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                   d: int, m_actual: int):
+    """_tm_kernel + per-row lse residual (head a -> lanes [:d], b -> [d:])."""
+    f32 = jnp.float32
+    q2 = q_ref[0]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    m_pad = k2.shape[0]
+    for s in (0, d):
+        logits = jax.lax.dot_general(
+            q2[:, s:s + d], k2[:, s:s + d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * scale
+        if m_actual != m_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < m_actual, logits, -jnp.inf)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(v2.dtype), v2[:, s:s + d],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) / denom
+        o_ref[0, :, s:s + d] = out.astype(o_ref.dtype)
+        lse_ref[0, :, s:s + d] = jnp.broadcast_to(
+            mx + jnp.log(denom), (out.shape[0], d))
+
+
+def _attn_tm_fwd_impl(qkv, scale, num_heads, block_n, with_res):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    pairs = c // 128
+    if qkv.dtype.itemsize > 2:
+        block_n = min(block_n, max(128, block_n // 2))
+    tn = min(block_n, max(128, 1 << (n - 1).bit_length()))
+    n_pad = -(-n // tn) * tn
+    qkv_p = _pad_axis(qkv, 1, n_pad)
+
+    grid = (b, pairs, n_pad // tn)
+    qspec = pl.BlockSpec((1, tn, 128), lambda i, p, j: (i, j, p),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, n_pad, 128), lambda i, p, j: (i, 0, pairs + p),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, n_pad, 128),
+                         lambda i, p, j: (i, 0, 2 * pairs + p),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, tn, 128), lambda i, p, j: (i, j, p),
+                         memory_space=pltpu.VMEM)
+    if not with_res:
+        out = pl.pallas_call(
+            functools.partial(_tm_kernel, scale=scale, d=d, m_actual=n),
+            grid=grid, in_specs=[qspec, kspec, vspec], out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")),
+        )(qkv_p, qkv_p, qkv_p)
+        return out[:, :n], None
+    out, lse = pl.pallas_call(
+        functools.partial(_tm_res_kernel, scale=scale, d=d, m_actual=n),
+        grid=grid,
+        in_specs=[qspec, kspec, vspec],
+        out_specs=[ospec, ospec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (c // 64) * n_pad * n_pad * 64 * 2,
+            bytes_accessed=2 * b * n_pad * (c3 + c) + 4 * b * n_pad * c,
+            transcendentals=b * (c // 64) * n_pad * n_pad,
+        ),
+    )(qkv_p, qkv_p, qkv_p)
+    return out[:, :n], lse[:, :n]
+
+
+def _tm_bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                   dq_ref, dk_ref, dv_ref, acc_dk, acc_dv,
+                   *, scale: float, d: int, m_actual: int, n_nb: int):
+    """Combined dQ+dK+dV, token-major: channel-sliced head pairs of the
+    SAME (B, N, 3C) qkv, gradients written back as (B, N, C) channel
+    blocks — zero head-split transposes in XLA, forward or backward.
+    Keys VMEM-resident (the training regime, m_pad <= 2048); dK/dV
+    accumulate across the sequential query-block grid axis."""
+    jn = pl.program_id(2)
+
+    @pl.when(jn == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros(acc_dk.shape, acc_dk.dtype)
+        acc_dv[...] = jnp.zeros(acc_dv.shape, acc_dv.dtype)
+
+    q2 = q_ref[0]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    g2 = g_ref[0]
+    m_pad = k2.shape[0]
+    for s in (0, d):
+        logits = jax.lax.dot_general(
+            q2[:, s:s + d], k2[:, s:s + d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(logits - lse_ref[0][:, s:s + 1])
+        if m_actual != m_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            p = jnp.where(col < m_actual, p, 0.0)
+        g_h = g2[:, s:s + d]
+        acc_dv[:, s:s + d] += jax.lax.dot_general(
+            p.astype(g_h.dtype), g_h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        da = jax.lax.dot_general(
+            g_h, v2[:, s:s + d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dl = p * (da - delta_ref[0][:, s:s + 1]) * scale
+        dq_ref[0, :, s:s + d] = jax.lax.dot_general(
+            dl.astype(k2.dtype), k2[:, s:s + d],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        acc_dk[:, s:s + d] += jax.lax.dot_general(
+            dl.astype(q2.dtype), q2[:, s:s + d],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jn == n_nb - 1)
+    def _finalize():
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[...].astype(dv_ref.dtype)
+
+
+def _attn_tm_bwd_impl(qkv, out, lse, g, scale, num_heads, block_n):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    pairs = c // 128
+    f32 = jnp.float32
+
+    # delta (softmax-Jacobian row term), per head, broadcast back over the
+    # head's 64 channels so the kernel reads it as a lane-block column
+    delta = jnp.sum(
+        (g.astype(f32) * out.astype(f32)).reshape(b, n, 2 * pairs, 64),
+        axis=-1)
+    delta = jnp.repeat(delta, 64, axis=-1)  # (b, n, c) f32
+    gq = g.astype(qkv.dtype)  # flash-bwd convention: dO in compute dtype
+
+    small = 2 if qkv.dtype.itemsize > 2 else 1
+    m_pad128 = -(-n // 128) * 128
+    tn = min((512 if m_pad128 <= 1024 else 256) // small,
+             max(128, 1 << (n - 1).bit_length()))
+    n_pad = -(-n // tn) * tn
+    qkv_p = _pad_axis(qkv, 1, n_pad)
+    gp = _pad_axis(gq, 1, n_pad)
+    lse_p = _pad_axis(lse, 1, n_pad)
+    delta_p = _pad_axis(delta, 1, n_pad)
+    n_nb = n_pad // tn
+
+    rowspec = pl.BlockSpec((1, tn, 128), lambda i, p, j: (i, j, p),
+                           memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, n_pad, 128), lambda i, p, j: (i, 0, pairs + p),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, n_pad, 128),
+                         lambda i, p, j: (i, 0, 2 * pairs + p),
+                         memory_space=pltpu.VMEM)
+    kvout = pl.BlockSpec((1, n_pad, 128), lambda i, p, j: (i, 0, p),
+                         memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_tm_bwd_kernel, scale=scale, d=d, m_actual=n,
+                          n_nb=n_nb),
+        grid=(b, pairs, n_nb),
+        in_specs=[rowspec, kspec, vspec, rowspec, rowspec, rowspec],
+        out_specs=[rowspec, kvout, kvout],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, 128), f32),
+            pltpu.VMEM((n_pad, 128), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (c // 64) * n_pad * n_pad * 64 * 5,
+            bytes_accessed=2 * b * n_pad * (c3 + 2 * c) * 2
+            + 8 * b * n_pad * c,
+            transcendentals=b * (c // 64) * n_pad * n_pad,
+        ),
+    )(qkv_p, qkv_p, qkv_p, gp, lse_p, delta_p)
+    return jnp.concatenate([dq[:, :n], dk[:, :n], dv[:, :n]], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def attention_tm_train(qkv, scale, num_heads, block_n=256):
+    """Differentiable token-major self-attention: (B, N, 3C) packed qkv ->
+    (B, N, C), with a token-major combined backward — the training twin of
+    ``attention_pallas_tm``.  Removes every XLA head-split transpose from
+    the train step (measured ~0.3-0.6 ms per attention site fwd+bwd at the
+    recipe shape — scripts/glue_probe.py).  Single-pass (keys
+    VMEM-resident): caller routes only N <= 2048 here."""
+    return _attn_tm_fwd_impl(qkv, scale, num_heads, block_n,
+                             with_res=False)[0]
+
+
+def _attn_tm_fwd(qkv, scale, num_heads, block_n):
+    # widened training forward tile (same rationale as _attn_fwd), capped
+    # so the per-head (TN, M) f32 logit tile stays <= 4 MB: at the video
+    # token count (N=M=2048) tn=1024 allocates 17.5 MB scoped VMEM > the
+    # 16 MB limit (measured OOM); tn = 2^20/m_pad keeps it constant
+    n = qkv.shape[1]
+    m_pad = -(-n // 128) * 128
+    tn = max(block_n, min(1024, max(256, (1 << 20) // m_pad)))
+    out, lse = _attn_tm_fwd_impl(qkv, scale, num_heads, tn, with_res=True)
+    return out, (qkv, out, lse)
+
+
+def _attn_tm_bwd(scale, num_heads, block_n, res, g):
+    qkv, out, lse = res
+    return (_attn_tm_bwd_impl(qkv, out, lse, g, scale, num_heads, block_n),)
+
+
+attention_tm_train.defvjp(_attn_tm_fwd, _attn_tm_bwd)
+
+
 # ------------------------------------------------- streaming forward kernel
 
 

@@ -265,6 +265,265 @@ def mhada_fused_prologue(fc_tok, fcs_tok, stats, wf, fb, k, v,
     return out[:, :n]
 
 
+# ------------------------------ token-major TRAINING MHAda kernel (VJP)
+
+
+def _tm_res_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, m1_ref, e2_ref,
+                   lse_ref, *, d: int, m_actual: int):
+    """Single-pass token-major MHAda core with residuals: two heads per
+    128-lane program on (B, N|M, C) channel slices — the training twin of
+    ``_fused_kernel`` (no prologue; emits M1/E2 + row lse for the VJP)."""
+    f32 = jnp.float32
+    q2 = q_ref[0]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    f2 = f_ref[0]
+    m_pad = k2.shape[0]
+    tn = q2.shape[0]
+    for s in (0, d):
+        logits = jax.lax.dot_general(
+            q2[:, s:s + d], k2[:, s:s + d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # unscaled softmax (reference adaDecoder.py:11-17)
+        if m_actual != m_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < m_actual, logits, -jnp.inf)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        v_h = v2[:, s:s + d]
+        vv = jnp.concatenate([v_h, jnp.square(v_h)], axis=-1)  # (M, 2d)
+        both = jax.lax.dot_general(
+            p.astype(v2.dtype), vv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) / denom
+        m1 = both[:, :d]
+        e2 = both[:, d:]
+        sd = jnp.sqrt(jnp.clip(e2 - jnp.square(m1), min=1e-6))
+        o_ref[0, :, s:s + d] = (
+            sd * f2[:, s:s + d].astype(f32) + m1).astype(o_ref.dtype)
+        m1_ref[0, :, s:s + d] = m1
+        e2_ref[0, :, s:s + d] = e2
+        lse_ref[0, :, s:s + d] = jnp.broadcast_to(
+            mx + jnp.log(denom), (tn, d))
+
+
+def _mhada_tm_fwd_impl(q, k, v, fcs_n, num_heads, block_n, with_res):
+    """q, fcs_n: (B, N, C); k, v: (B, M, C) — all token-major, heads as
+    contiguous 64-channel slices."""
+    b, n, c = q.shape
+    m = k.shape[1]
+    d = c // num_heads
+    pairs = c // 128
+    if q.dtype.itemsize > 2:
+        block_n = min(block_n, max(128, block_n // 2))
+    tn = min(block_n, max(128, 1 << (n - 1).bit_length()))
+    n_pad = -(-n // tn) * tn
+    m_pad = -(-m // 128) * 128
+
+    qp = _pad_axis(q, 1, n_pad)
+    fp = _pad_axis(fcs_n, 1, n_pad)
+    kp = _pad_axis(k, 1, m_pad)
+    vp = _pad_axis(v, 1, m_pad)
+
+    grid = (b, pairs, n_pad // tn)
+    qspec = pl.BlockSpec((1, tn, 128), lambda i, p, j: (i, j, p),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, m_pad, 128), lambda i, p, j: (i, 0, p),
+                          memory_space=pltpu.VMEM)
+    out, m1, e2, lse = pl.pallas_call(
+        functools.partial(_tm_res_kernel, d=d, m_actual=m),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, qspec],
+        out_specs=[qspec, qspec, qspec, qspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (c // 64) * n_pad * m_pad * 64 * 3,
+            bytes_accessed=2 * b * (2 * n_pad * c + 2 * m_pad * c)
+            + 12 * b * n_pad * c,
+            transcendentals=b * (c // 64) * n_pad * m_pad,
+        ),
+    )(qp, kp, vp, fp)
+    if not with_res:
+        return out[:, :n]
+    return out[:, :n], m1[:, :n], e2[:, :n], lse[:, :n]
+
+
+def _mhada_tm_bwd_kernel(q_ref, k_ref, v_ref, dm1_ref, de2_ref, lse_ref,
+                         delta_ref, dq_ref, dk_ref, dv_ref, acc_dk, acc_dv,
+                         *, d: int, m_actual: int, n_nb: int):
+    """Combined dQ+dK+dV, token-major: the MHAda twin of
+    attention_pallas._tm_bwd_kernel.  acc_dv holds [P^T dM1 | P^T dE2] per
+    head ((M, 128) halves at 2*s); the finalize applies the V-chain rule
+    dV = P^T dM1 + 2 V * (P^T dE2)."""
+    jn = pl.program_id(2)
+
+    @pl.when(jn == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros(acc_dk.shape, acc_dk.dtype)
+        acc_dv[...] = jnp.zeros(acc_dv.shape, acc_dv.dtype)
+
+    q2 = q_ref[0]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    m_pad = k2.shape[0]
+    for s in (0, d):
+        logits = jax.lax.dot_general(
+            q2[:, s:s + d], k2[:, s:s + d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jnp.exp(logits - lse_ref[0][:, s:s + 1])
+        if m_actual != m_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            p = jnp.where(col < m_actual, p, 0.0)
+        g2_h = jnp.concatenate(
+            [dm1_ref[0][:, s:s + d], de2_ref[0][:, s:s + d]], axis=-1)
+        acc_dv[:, 2 * s:2 * s + 2 * d] += jax.lax.dot_general(
+            p.astype(g2_h.dtype), g2_h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        v_h = v2[:, s:s + d]
+        vv = jnp.concatenate([v_h, jnp.square(v_h)], axis=-1)
+        da = jax.lax.dot_general(
+            g2_h, vv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dl = p * (da - delta_ref[0][:, s:s + 1])
+        dq_ref[0, :, s:s + d] = jax.lax.dot_general(
+            dl.astype(k2.dtype), k2[:, s:s + d],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        acc_dk[:, s:s + d] += jax.lax.dot_general(
+            dl.astype(q2.dtype), q2[:, s:s + d],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jn == n_nb - 1)
+    def _finalize():
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        for s in (0, d):
+            w = acc_dv[:, 2 * s:2 * s + 2 * d]
+            dv = w[:, :d] + 2.0 * v2[:, s:s + d] * w[:, d:]
+            dv_ref[0, :, s:s + d] = dv.astype(dv_ref.dtype)
+
+
+def _mhada_tm_bwd_impl(q, k, v, fcs_n, m1, e2, lse, g, num_heads):
+    b, n, c = q.shape
+    m = k.shape[1]
+    d = c // num_heads
+    pairs = c // 128
+    f32 = jnp.float32
+
+    # elementwise prologue, all token-major (B, N, C) — no transposes
+    gf = g.astype(f32)
+    ff = fcs_n.astype(f32)
+    var = e2 - jnp.square(m1)
+    s_std = jnp.sqrt(jnp.clip(var, min=1e-6))
+    d_f = gf * s_std
+    # clamp gradient: zero where Var < 1e-6 (torch semantics,
+    # adaDecoder.py:191)
+    d_var = jnp.where(var >= 1e-6, gf * ff * 0.5 / s_std, 0.0)
+    d_m1 = gf - 2.0 * m1 * d_var
+    d_e2 = d_var
+    # softmax-Jacobian row term per head, broadcast over its 64 lanes
+    delta = jnp.sum(
+        (d_m1 * m1 + d_e2 * e2).reshape(b, n, 2 * pairs, 64), axis=-1)
+    delta = jnp.repeat(delta, 64, axis=-1)  # (b, n, c) f32
+    # ship the prologue products in the input dtype (flash-bwd convention)
+    d_m1 = d_m1.astype(q.dtype)
+    d_e2 = d_e2.astype(q.dtype)
+
+    small = 2 if q.dtype.itemsize > 2 else 1
+    m_pad = -(-m // 128) * 128
+    tn = min((512 if m_pad <= 1024 else 256) // small,
+             max(128, 1 << (n - 1).bit_length()))
+    n_pad = -(-n // tn) * tn
+    qp = _pad_axis(q, 1, n_pad)
+    kp = _pad_axis(k, 1, m_pad)
+    vp = _pad_axis(v, 1, m_pad)
+    dm1p = _pad_axis(d_m1, 1, n_pad)
+    de2p = _pad_axis(d_e2, 1, n_pad)
+    lse_p = _pad_axis(lse, 1, n_pad)
+    delta_p = _pad_axis(delta, 1, n_pad)
+    n_nb = n_pad // tn
+
+    rowspec = pl.BlockSpec((1, tn, 128), lambda i, p, j: (i, j, p),
+                           memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, m_pad, 128), lambda i, p, j: (i, 0, p),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_mhada_tm_bwd_kernel, d=d, m_actual=m,
+                          n_nb=n_nb),
+        grid=(b, pairs, n_nb),
+        in_specs=[rowspec, kvspec, kvspec, rowspec, rowspec, rowspec,
+                  rowspec],
+        out_specs=[rowspec, kvspec, kvspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, m_pad, c), k.dtype),
+            jax.ShapeDtypeStruct((b, m_pad, c), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, 128), f32),
+            pltpu.VMEM((m_pad, 256), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (c // 64) * n_pad * m_pad * 64 * 7,
+            bytes_accessed=2 * b * (3 * n_pad * c + 2 * m_pad * c) * 2
+            + 8 * b * n_pad * c,
+            transcendentals=b * (c // 64) * n_pad * m_pad,
+        ),
+    )(qp, kp, vp, dm1p, de2p, lse_p, delta_p)
+    return (dq[:, :n], dk[:, :m], dv[:, :m], d_f.astype(fcs_n.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def mhada_tm_train(q, k, v, fcs_n, num_heads, block_n=256):
+    """Differentiable token-major MHAda attention: q, fcs_n (B, N, C);
+    k, v (B, M, C) -> (B, N, C), heads as contiguous 64-channel slices
+    (reference adaDecoder.py:168-170 packing).  The training twin of
+    ``mhada_fused_prologue``'s core: removes every XLA head-split
+    transpose per block (5 tensors), forward and backward.  Single-pass
+    (keys VMEM-resident): callers route only M <= 2048 here."""
+    return _mhada_tm_fwd_impl(q, k, v, fcs_n, num_heads, block_n,
+                              with_res=False)
+
+
+def _mhada_tm_fwd(q, k, v, fcs_n, num_heads, block_n):
+    # widened training forward tile, capped so the per-head (TN, M) f32
+    # logit tile stays <= 4 MB (see attention_pallas._attn_tm_fwd)
+    m_pad = -(-k.shape[1] // 128) * 128
+    tn = max(block_n, min(1024, max(256, (1 << 20) // m_pad)))
+    out, m1, e2, lse = _mhada_tm_fwd_impl(
+        q, k, v, fcs_n, num_heads, tn, with_res=True)
+    return out, (q, k, v, fcs_n, m1, e2, lse)
+
+
+def _mhada_tm_bwd(num_heads, block_n, res, g):
+    q, k, v, fcs_n, m1, e2, lse = res
+    return _mhada_tm_bwd_impl(q, k, v, fcs_n, m1, e2, lse, g, num_heads)
+
+
+mhada_tm_train.defvjp(_mhada_tm_fwd, _mhada_tm_bwd)
+
+
 # ------------------------------------------------- streaming forward kernel
 
 

@@ -34,6 +34,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--env", default="MHADA_BWD_G_F32",
+                    help="trace-time env hook to A/B: MHADA_BWD_G_F32 "
+                         "(f32-shipped gradients, pre-r5) or "
+                         "MHADA_TM_TRAIN (token-major training kernels; "
+                         "'0' disables => head-major baseline)")
     args = ap.parse_args()
 
     cfg = replace(ImageTrainConfig(), compute_dtype="bfloat16")
@@ -47,15 +52,19 @@ def main():
     style = commit_to_device(jnp.asarray(
         rng.uniform(0, 255, (cfg.batch_size, h, w, 3)), jnp.float32))
 
+    if args.env == "MHADA_BWD_G_F32":
+        variants = (("g_f32(old)", "1"), ("g_dtype(new)", "0"))
+    else:
+        variants = ((f"{args.env}=0(off)", "0"), (f"{args.env}=1(on)", "1"))
     steps = {}
     losses = {}
-    for name, flag in (("g_f32(old)", "1"), ("g_dtype(new)", "0")):
-        os.environ["MHADA_BWD_G_F32"] = flag
+    for name, flag in variants:
+        os.environ[args.env] = flag
         step = make_image_train_step(cfg, donate=False)
         st, m = step(state, vgg, content, style)  # trace + compile now
         losses[name] = float(m["loss"])
         steps[name] = step
-    os.environ.pop("MHADA_BWD_G_F32", None)
+    os.environ.pop(args.env, None)
     print("one-step losses:", {k: f"{v:.6g}" for k, v in losses.items()},
           flush=True)
 

@@ -461,3 +461,117 @@ def test_bf16_vjp_matches_f32_naive_grads():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=6e-2, rtol=5e-2)
+
+
+def _tok_inputs(b, n, m, heads, dt=jnp.float32):
+    rng = np.random.default_rng((b, n, m, heads))
+    c = 64 * heads
+    q = jnp.asarray(rng.standard_normal((b, n, c)) * 0.5, dt)
+    k = jnp.asarray(rng.standard_normal((b, m, c)) * 0.5, dt)
+    v = jnp.asarray(rng.standard_normal((b, m, c)) * 0.5, dt)
+    f = jnp.asarray(rng.standard_normal((b, n, c)) * 0.5, dt)
+    return q, k, v, f
+
+
+@pytest.mark.parametrize("b,n,m,heads", [
+    (1, 512, 512, 2),      # aligned
+    (2, 300, 260, 2),      # query AND key padding
+    (1, 640, 1030, 4),     # n != m, both padded
+])
+def test_mhada_tm_train_vjp_matches_naive(b, n, m, heads):
+    """Token-major differentiable MHAda (round 5: removes the 5 head-split
+    transposes per block): forward and gradients vs the naive head-major
+    formulation, with padding in both token axes."""
+    from mhada_tpu.ops.mhada_pallas import mhada_tm_train
+
+    q, k, v, f = _tok_inputs(b, n, m, heads)
+    c = 64 * heads
+
+    def naive_tok(q, k, v, f):
+        hm = lambda t: t.reshape(
+            t.shape[0], t.shape[1], heads, 64).transpose(0, 2, 1, 3)
+        out = mhada_attention(hm(q), hm(k), hm(v), hm(f), "softmax")
+        return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    ref = naive_tok(q, k, v, f)
+    with pltpu.force_tpu_interpret_mode():
+        got = mhada_tm_train(q, k, v, f, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)
+
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.sin(naive_tok(*a))))((q, k, v, f))
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(lambda a: jnp.sum(jnp.sin(
+            mhada_tm_train(*a, heads))))((q, k, v, f))
+    for a_, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=3e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("b,n,heads", [
+    (1, 512, 2),
+    (2, 300, 2),
+    (1, 520, 4),
+])
+def test_attention_tm_train_vjp_matches_naive(b, n, heads):
+    """Token-major differentiable self-attention (round 5): forward and
+    gradients through the packed (B, N, 3C) qkv vs the naive path."""
+    from mhada_tpu.ops.attention_pallas import attention_tm_train
+
+    rng = np.random.default_rng((b, n, heads))
+    c = 64 * heads
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * c)) * 0.5, jnp.float32)
+    scale = 0.125
+
+    def naive(qkv):
+        q, k, v = jnp.split(qkv, 3, -1)
+        hm = lambda t: t.reshape(b, n, heads, 64).transpose(0, 2, 1, 3)
+        a = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", hm(q), hm(k)) * scale, -1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, hm(v))
+        return o.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    ref = naive(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_tm_train(qkv, scale, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)
+
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(naive(x))))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(lambda x: jnp.sum(jnp.sin(
+            attention_tm_train(x, scale, heads))))(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-3, rtol=1e-2)
+
+
+def test_adaattn_multihead_tm_path_matches_naive():
+    """AdaAttnMultiHead routes to mhada_tm_train when use_pallas is set (the
+    round-5 training path): same outputs as the naive module path, and the
+    MHADA_TM_TRAIN=0 env hook restores the head-major kernel path."""
+    import os as _os
+
+    from mhada_tpu.models.adaformer import AdaAttnMultiHead
+
+    rng = np.random.default_rng(7)
+    B, N, M, H = 1, 256, 192, 2
+    C = 64 * H
+    fc = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    fs = jnp.asarray(rng.standard_normal((B, M, C)), jnp.float32)
+    fcs = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+
+    naive = AdaAttnMultiHead(num_heads=H)
+    tm = AdaAttnMultiHead(num_heads=H, use_pallas=True)
+    params = naive.init(jax.random.PRNGKey(0), fc, fs, fcs)["params"]
+    ref = naive.apply({"params": params}, fc, fs, fcs)
+    with pltpu.force_tpu_interpret_mode():
+        got = tm.apply({"params": params}, fc, fs, fcs)
+        _os.environ["MHADA_TM_TRAIN"] = "0"
+        try:
+            got_hm = tm.apply({"params": params}, fc, fs, fcs)
+        finally:
+            _os.environ.pop("MHADA_TM_TRAIN", None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_hm), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)
